@@ -1,0 +1,110 @@
+"""Multi-head self-attention with optional logit/value-relation taps.
+
+The reference harvests pre-softmax attention logits and a value-relation
+matrix through runtime monkey-patches (reference utils/utils.py:193-366 with
+fairseq MultiheadAttention(before_softmax=True)). Here the taps are explicit,
+config-gated return values so the O(T²) tensors are only materialized when a
+loss actually consumes them — otherwise the kernel can run a fused
+flash-attention path (ops/pallas/flash_attention.py).
+
+Layout is (B, T, C); taps follow fairseq's (B*H, T, T) flattening so the loss
+engine matches the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class AttentionTaps(NamedTuple):
+    attn_logits: Optional[jnp.ndarray]  # (B*H, T, T) fp32, -inf at padded keys
+    v_rel: Optional[jnp.ndarray]  # (B*H, T, T) fp32: (v*scaling) @ v^T
+
+
+# The reference encoder applies fairseq init_bert_params over every Linear /
+# MultiheadAttention projection (reference modules/module.py:254): N(0, 0.02).
+bert_init = nn.initializers.normal(stddev=0.02)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """fairseq-semantics MHA: q scaled by head_dim**-0.5 before QK^T,
+    key-padding mask as -inf pre-softmax, fp32 softmax, dropout on probs.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True = pad
+        deterministic: bool = True,
+        need_taps: bool = False,
+    ):
+        b, t, c = x.shape
+        h = self.num_heads
+        head_dim = self.embed_dim // h
+        scaling = head_dim**-0.5
+        dtype = self.dtype or x.dtype
+
+        dense = lambda name: nn.Dense(
+            self.embed_dim,
+            kernel_init=bert_init,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+        q = dense("q_proj")(x) * scaling
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        q = q.reshape(b, t, h, head_dim)
+        k = k.reshape(b, t, h, head_dim)
+        v = v.reshape(b, t, h, head_dim)
+
+        use_pallas = (
+            self.use_pallas
+            and not need_taps
+            and (self.dropout == 0.0 or deterministic)
+        )
+        if use_pallas:
+            from fithubert_tpu.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, key_padding_mask)  # (B, T, H, hd), q pre-scaled
+            taps = AttentionTaps(None, None)
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ).astype(jnp.float32)
+            if key_padding_mask is not None:
+                neg_inf = jnp.asarray(-jnp.inf, dtype=logits.dtype)
+                logits = jnp.where(key_padding_mask[:, None, None, :], neg_inf, logits)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                probs.astype(dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            if need_taps:
+                v_flat = v.transpose(0, 2, 1, 3).reshape(b * h, t, head_dim)
+                v32 = v_flat.astype(jnp.float32)
+                v_rel = jnp.einsum(
+                    "zqd,zkd->zqk", v32 * scaling, v32, preferred_element_type=jnp.float32
+                )
+                taps = AttentionTaps(logits.reshape(b * h, t, t), v_rel)
+            else:
+                taps = AttentionTaps(None, None)
+
+        out = out.reshape(b, t, self.embed_dim)
+        out = dense("out_proj")(out)
+        return out, taps

@@ -1,0 +1,242 @@
+"""Conformer encoder (secondary encoder family of the reference).
+
+Parity targets: fairseq ConformerWav2Vec2EncoderLayer (built at reference
+modules/module.py:132-143,388-401) and ConformerEncoder (modules/module.py:
+386-469) with espnet-style relative-position attention ('rel_pos'), rotary
+('rope'), or absolute ('abs', used when layer_type=conformer inside the
+plain TransformerEncoder).
+
+Structure per layer: 0.5*FFN -> MHA(+rel pos) -> depthwise conv module ->
+0.5*FFN -> LayerNorm, macaron style. BatchNorm inside the conv module uses
+flax's batch_stats collection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fithubert_tpu.config import StudentConfig
+from fithubert_tpu.ops.attention import AttentionTaps
+from fithubert_tpu.ops.conv import Conv1D
+from fithubert_tpu.ops.norms import FP32LayerNorm
+from fithubert_tpu.ops.padding import apply_padding_mask
+
+
+def rel_positional_encoding(t: int, d: int, dtype=jnp.float32) -> jnp.ndarray:
+    """espnet RelPositionalEncoding table: positions T-1 .. -(T-1), shape (2T-1, d)."""
+    pos = jnp.arange(t - 1, -t, -1.0)[:, None]  # (2T-1, 1)
+    div = jnp.exp(jnp.arange(0, d, 2) * (-math.log(10000.0) / d))[None, :]
+    pe = jnp.zeros((2 * t - 1, d))
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """espnet rel_shift: (B, H, T, 2T-1) -> (B, H, T, T) aligning relative indices."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, 2 * t, t)
+    x = x[:, :, 1:, :].reshape(b, h, t, 2 * t - 1)
+    return x[:, :, :, :t]
+
+
+class RelPositionAttention(nn.Module):
+    """Transformer-XL style relative-position MHA (espnet semantics)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, pos_emb, key_padding_mask=None, deterministic=True,
+                 need_taps=False):
+        b, t, c = x.shape
+        h = self.num_heads
+        dk = self.embed_dim // h
+        dtype = self.dtype or x.dtype
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=dtype,
+                                      param_dtype=jnp.float32, name=name)
+        q = dense("q_proj")(x).reshape(b, t, h, dk)
+        k = dense("k_proj")(x).reshape(b, t, h, dk)
+        v = dense("v_proj")(x).reshape(b, t, h, dk)
+        p = dense("linear_pos")(pos_emb).reshape(1, -1, h, dk)  # (1, 2T-1, H, dk)
+
+        pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
+        pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
+
+        q_u = q + pos_bias_u[None, None]
+        q_v = q + pos_bias_v[None, None]
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k, preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bqhd,zkhd->bhqk", q_v, p, preferred_element_type=jnp.float32)
+        bd = _rel_shift(bd)
+        logits = (ac + bd).astype(jnp.float32) / math.sqrt(dk)
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], -jnp.inf, logits
+            )
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(b, t, c)
+        out = dense("out_proj")(out)
+        if need_taps:
+            v32 = v.transpose(0, 2, 1, 3).reshape(b * h, t, dk).astype(jnp.float32)
+            v_rel = jnp.einsum("zqd,zkd->zqk", v32 / math.sqrt(dk), v32)
+            taps = AttentionTaps(logits.reshape(b * h, t, t), v_rel)
+        else:
+            taps = AttentionTaps(None, None)
+        return out, taps
+
+
+class FeedForwardModule(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    dropout: float
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = FP32LayerNorm(name="layer_norm")(x)
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="w_1")(x)
+        x = jax.nn.silu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="w_2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class ConvolutionModule(nn.Module):
+    embed_dim: int
+    depthwise_kernel_size: int
+    dropout: float
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):  # (B, T, C)
+        assert (self.depthwise_kernel_size - 1) % 2 == 0
+        x = FP32LayerNorm(name="layer_norm")(x)
+        x = Conv1D(2 * self.embed_dim, kernel_size=1, dtype=self.dtype,
+                   name="pointwise_conv1")(x)
+        x = jax.nn.glu(x, axis=-1)
+        pad = (self.depthwise_kernel_size - 1) // 2
+        x = Conv1D(
+            self.embed_dim, kernel_size=self.depthwise_kernel_size,
+            groups=self.embed_dim, padding=(pad, pad), dtype=self.dtype,
+            name="depthwise_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="batch_norm",
+        )(x)
+        x = jax.nn.silu(x)
+        x = Conv1D(self.embed_dim, kernel_size=1, dtype=self.dtype,
+                   name="pointwise_conv2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Macaron conformer block; returns (x, taps, layer_result) with
+    layer_result = ffn2 output pre-residual (reference utils/utils.py:359-361)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float
+    depthwise_conv_kernel_size: int = 31
+    pos_enc_type: str = "abs"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, pos_emb=None, deterministic=True,
+                 need_taps=False):
+        residual = x
+        x = FeedForwardModule(self.embed_dim, self.ffn_dim, self.dropout,
+                              self.dtype, name="ffn1")(x, deterministic)
+        x = x * 0.5 + residual
+
+        residual = x
+        x = FP32LayerNorm(name="self_attn_layer_norm")(x)
+        if self.pos_enc_type == "rel_pos":
+            x, taps = RelPositionAttention(
+                self.embed_dim, self.num_heads, self.dropout, self.dtype,
+                name="self_attn",
+            )(x, pos_emb, padding_mask, deterministic, need_taps)
+        else:
+            from fithubert_tpu.ops.attention import MultiHeadSelfAttention
+
+            x, taps = MultiHeadSelfAttention(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                dropout=self.dropout, dtype=self.dtype, name="self_attn",
+            )(x, padding_mask, deterministic, need_taps)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = x + residual
+
+        residual = x
+        x = ConvolutionModule(
+            self.embed_dim, self.depthwise_conv_kernel_size, self.dropout,
+            self.dtype, name="conv_module",
+        )(x, deterministic)
+        x = residual + x
+
+        residual = x
+        x = FeedForwardModule(self.embed_dim, self.ffn_dim, self.dropout,
+                              self.dtype, name="ffn2")(x, deterministic)
+        layer_result = x
+        x = x * 0.5 + residual
+        x = FP32LayerNorm(name="final_layer_norm")(x)
+        return x, taps, layer_result
+
+
+class ConformerEncoder(nn.Module):
+    """Conformer stack with rel_pos/rope: no TR layer, no pad_to_multiple
+    (reference modules/module.py:429-469)."""
+
+    cfg: StudentConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, deterministic=True, need_taps=False):
+        from fithubert_tpu.ops.transformer import EncoderOutput
+
+        cfg = self.cfg
+        if padding_mask is not None:
+            x = apply_padding_mask(x, padding_mask)
+
+        pos_emb = None
+        if cfg.pos_enc_type == "rel_pos":
+            pos_emb = rel_positional_encoding(
+                x.shape[1], cfg.encoder_embed_dim, dtype=x.dtype
+            )
+
+        if not cfg.layer_norm_first:
+            x = FP32LayerNorm(name="layer_norm")(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        layer_results = []
+        for i in range(cfg.encoder_layers):
+            x, taps, layer_result = ConformerEncoderLayer(
+                embed_dim=cfg.encoder_embed_dim,
+                ffn_dim=cfg.encoder_ffn_embed_dim,
+                num_heads=cfg.encoder_attention_heads,
+                dropout=cfg.dropout,
+                depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
+                pos_enc_type=cfg.pos_enc_type,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, padding_mask, pos_emb, deterministic, need_taps)
+            layer_results.append((x, taps, layer_result))
+
+        return EncoderOutput(
+            x=x, layer_results=layer_results, tr_layer_results=[],
+            padding_mask=padding_mask,
+        )

@@ -1,0 +1,256 @@
+"""1-D convolution building blocks in channels-last (B, T, C) layout.
+
+Channels-last keeps the contraction dimension on the TPU lane axis so XLA can
+tile conv-as-matmul onto the MXU without transposes. Parity targets:
+  - ConvFeatureExtractor  ≙ reference modules/module.py:24-102
+  - PositionalConv        ≙ reference modules/module.py:186-208 (weight-norm,
+                            SamePad, GELU) and the multi-layer variant :155-183
+  - ConvTranspose1D       ≙ torch nn.ConvTranspose1d (upsampler,
+                            reference modules/model.py:342-348)
+  - grad_multiply         ≙ fairseq GradMultiply (reference modules/model.py:431)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fithubert_tpu.ops.norms import FP32GroupNorm, FP32LayerNorm
+
+Initializer = nn.initializers.Initializer
+
+
+def _conv_dn():
+    # lhs (B, T, C), rhs (K, C_in/g, C_out), out (B, T', C_out)
+    return jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NHC", "HIO", "NHC"))
+
+
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class Conv1D(nn.Module):
+    """Strided 1-D convolution, (B, T, C_in) -> (B, T', C_out).
+
+    Kernel stored as (K, C_in/groups, C_out) so the importer maps torch's
+    (C_out, C_in/g, K) via a transpose.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    padding: Tuple[int, int] = (0, 0)
+    kernel_init: Initializer = nn.initializers.lecun_normal()
+    bias_init: Initializer = nn.initializers.zeros
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (self.kernel_size, in_ch // self.groups, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride,),
+            padding=[self.padding],
+            dimension_numbers=_conv_dn(),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(dtype)
+
+
+class ConvTranspose1D(nn.Module):
+    """Transposed 1-D convolution matching torch nn.ConvTranspose1d.
+
+    Output length = (T - 1) * stride + kernel_size (padding=0). Kernel stored
+    as (K, C_out, C_in); importer maps torch's (C_in, C_out, K).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        # torch default init: uniform(-1/sqrt(fan_in), +) with fan_in = C_in*K
+        bound = 1.0 / math.sqrt(in_ch * self.kernel_size)
+        uniform = nn.initializers.uniform(scale=2 * bound)
+
+        def shifted_uniform(key, shape, dtype=jnp.float32):
+            return uniform(key, shape, dtype) - bound
+
+        kernel = self.param(
+            "kernel", shifted_uniform, (self.kernel_size, self.features, in_ch), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        # conv_transpose == conv with lhs dilation `stride`, full padding,
+        # spatially-flipped kernel, and in/out channels swapped.
+        flipped = jnp.flip(kernel, axis=0)  # (K, C_out, C_in)
+        rhs = jnp.transpose(flipped, (0, 2, 1))  # (K, C_in, C_out) for HIO
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            rhs.astype(dtype),
+            window_strides=(1,),
+            padding=[(self.kernel_size - 1, self.kernel_size - 1)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=_conv_dn(),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", shifted_uniform, (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(dtype)
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Waveform (B, T) -> features (B, T', C): the strided conv front-end.
+
+    Reference modules/module.py:24-102. `default` mode = GroupNorm(d, d) on
+    block 0 only; `layer_norm` mode = per-block fp32 LayerNorm. GELU (exact)
+    after every block; kaiming-normal conv init; optional bias.
+    """
+
+    conv_layers: Tuple[Tuple[int, int, int], ...]
+    mode: str = "default"
+    conv_bias: bool = False
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        assert self.mode in ("default", "layer_norm")
+        x = x[..., None]  # (B, T, 1)
+        for i, (dim, k, stride) in enumerate(self.conv_layers):
+            x = Conv1D(
+                features=dim,
+                kernel_size=k,
+                stride=stride,
+                use_bias=self.conv_bias,
+                kernel_init=kaiming_normal,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            if self.mode == "layer_norm":
+                x = FP32LayerNorm(name=f"layer_norm_{i}")(x)
+            elif self.mode == "default" and i == 0:
+                x = FP32GroupNorm(num_groups=dim, name="group_norm")(x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConv(nn.Module):
+    """Grouped, weight-normalized conv positional embedding + SamePad + GELU.
+
+    Reference modules/module.py:186-208. Weight norm is over torch dim=2
+    (per kernel position): w[:, :, k] = g[k] * v[:, :, k] / ||v[:, :, k]||.
+    We store `weight_v` as (K, C/g, C) and `weight_g` as (K,).
+    """
+
+    embed_dim: int
+    kernel_size: int = 128
+    groups: int = 16
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        e, k, g = self.embed_dim, self.kernel_size, self.groups
+        std = math.sqrt(4.0 / (k * e))
+
+        def v_init(key, shape, dtype=jnp.float32):
+            return std * jax.random.normal(key, shape, dtype)
+
+        def g_init(key, shape, dtype=jnp.float32):
+            # E[||v_k||] for v ~ N(0, std^2) over (C/g * C) entries
+            return jnp.full(shape, std * math.sqrt(e * e / g), dtype)
+
+        weight_v = self.param("weight_v", v_init, (k, e // g, e), jnp.float32)
+        weight_g = self.param("weight_g", g_init, (k,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (e,), jnp.float32)
+
+        norm = jnp.sqrt(jnp.sum(weight_v**2, axis=(1, 2), keepdims=True) + 1e-12)
+        kernel = weight_v * (weight_g[:, None, None] / norm)
+
+        dtype = self.dtype or x.dtype
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=_conv_dn(),
+            feature_group_count=g,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        y = y + bias.astype(dtype)
+        if k % 2 == 0:  # SamePad: drop trailing step for even kernels
+            y = y[:, :-1, :]
+        return jax.nn.gelu(y, approximate=False)
+
+
+class MultiLayerPositionalConv(nn.Module):
+    """pos_conv_depth > 1 variant (reference modules/module.py:155-183):
+    stacked [Conv1d(k, pad=k//2, groups) + SamePad + LayerNorm(no affine) + GELU].
+    """
+
+    embed_dim: int
+    depth: int
+    kernel_size: int
+    groups: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = max(3, self.kernel_size // self.depth)
+        for i in range(self.depth):
+            x = Conv1D(
+                features=self.embed_dim,
+                kernel_size=k,
+                groups=self.groups,
+                padding=(k // 2, k // 2),
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            if k % 2 == 0:
+                x = x[:, :-1, :]
+            x = FP32LayerNorm(use_affine=False, name=f"layer_norm_{i}")(x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def grad_multiply(x, scale: float):
+    return x
+
+
+def _grad_multiply_fwd(x, scale):
+    return x, None
+
+
+def _grad_multiply_bwd(scale, _res, g):
+    return (g * scale,)
+
+
+grad_multiply.defvjp(_grad_multiply_fwd, _grad_multiply_bwd)

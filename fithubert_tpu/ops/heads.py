@@ -1,0 +1,111 @@
+"""Projection heads for distillation.
+
+  SplitLinear       ≙ reference modules/module.py:585-619 (batched per-task
+                      linear, einsum-based — maps directly onto one MXU matmul)
+  LayerWiseProjHead ≙ reference modules/module.py:622-661 (per-layer
+                      ConvTranspose upsample + Linear d->768)
+  MelSpecHead       ≙ reference modules/module.py:664-701 (same-length conv
+                      stack over mel features, ReLU between layers)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fithubert_tpu.ops.conv import Conv1D, ConvTranspose1D
+
+
+class SplitLinear(nn.Module):
+    """x (B, T, N*Din) -> (B, T, N*Dout): independent linear per task split."""
+
+    in_dim: int
+    in_split: int
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.in_split == 1:
+            return nn.Dense(
+                self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="layer"
+            )(x)
+        b, t, _ = x.shape
+        bound = self.in_dim**-0.5
+        uniform = nn.initializers.uniform(scale=2 * bound)
+
+        def centered_uniform(key, shape, dtype=jnp.float32):
+            return uniform(key, shape, dtype) - bound
+
+        weight = self.param(
+            "weight", centered_uniform, (self.in_split, self.in_dim, self.out_dim),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", centered_uniform, (1, 1, self.in_split, self.out_dim), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        xs = x.reshape(b, t, self.in_split, self.in_dim)
+        out = jnp.einsum(
+            "btni,nio->btno", xs.astype(dtype), weight.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + bias
+        return out.reshape(b, t, self.in_split * self.out_dim).astype(dtype)
+
+
+class LayerWiseProjHead(nn.Module):
+    """Per-layer head: ConvTranspose upsample (undo TR) + Linear to teacher dim."""
+
+    in_dim: int
+    out_dim: int
+    enable_tr_layer: bool = True
+    tr_reduce_factor: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.enable_tr_layer:
+            x = ConvTranspose1D(
+                features=self.in_dim,
+                kernel_size=self.tr_reduce_factor,
+                stride=self.tr_reduce_factor,
+                dtype=self.dtype,
+                name="upsampler",
+            )(x)
+        if self.in_dim != self.out_dim:
+            x = nn.Dense(
+                self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="lin_proj"
+            )(x)
+        return x
+
+
+class MelSpecHead(nn.Module):
+    """Conv head over mel features, stride 1, padding k//2, ReLU between layers.
+
+    Input/output layout here is (B, T, C) (the reference uses (B, C, T)).
+    """
+
+    conv_layers: Tuple[Tuple[int, int, int], ...]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.conv_layers)
+        for i, (dim, k, _stride) in enumerate(self.conv_layers):
+            x = Conv1D(
+                features=dim,
+                kernel_size=k,
+                stride=1,
+                padding=(k // 2, k // 2),
+                dtype=self.dtype,
+                kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+                name=f"conv_{i}",
+            )(x)
+            if i < n - 1:
+                x = jax.nn.relu(x)
+        return x

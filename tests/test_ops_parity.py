@@ -1,0 +1,195 @@
+"""Golden parity of the L2 building blocks against torch oracles.
+
+Each test builds the torch equivalent of a block (the reference delegates to
+torch/fairseq primitives, SURVEY.md §2.8), copies weights into our flax
+params, and compares forward outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn_t
+
+from fithubert_tpu.ops.conv import Conv1D, ConvTranspose1D, PositionalConv
+from fithubert_tpu.ops.norms import FP32GroupNorm, FP32LayerNorm
+from fithubert_tpu.ops.attention import MultiHeadSelfAttention
+from fithubert_tpu.ops.heads import SplitLinear
+
+TOL = dict(rtol=2e-4, atol=2e-5)
+
+
+def to_j(x):
+    return jnp.asarray(x.detach().numpy())
+
+
+def test_conv1d_matches_torch(np_rng):
+    B, T, Cin, Cout, K, S = 2, 50, 8, 16, 5, 3
+    x = np_rng.standard_normal((B, T, Cin)).astype(np.float32)
+    tconv = nn_t.Conv1d(Cin, Cout, K, stride=S, bias=True)
+    ref = tconv(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2)
+
+    conv = Conv1D(features=Cout, kernel_size=K, stride=S)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # torch weight (Cout, Cin, K) -> ours (K, Cin, Cout)
+    params = {"params": {
+        "kernel": to_j(tconv.weight.permute(2, 1, 0)),
+        "bias": to_j(tconv.bias),
+    }}
+    out = conv.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+
+
+def test_grouped_conv1d_matches_torch(np_rng):
+    B, T, C, K, G = 2, 40, 16, 7, 4
+    x = np_rng.standard_normal((B, T, C)).astype(np.float32)
+    tconv = nn_t.Conv1d(C, C, K, groups=G, padding=K // 2)
+    ref = tconv(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2)
+
+    conv = Conv1D(features=C, kernel_size=K, groups=G, padding=(K // 2, K // 2))
+    params = {"params": {
+        "kernel": to_j(tconv.weight.permute(2, 1, 0)),
+        "bias": to_j(tconv.bias),
+    }}
+    out = conv.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+
+
+def test_conv_transpose_matches_torch(np_rng):
+    """Upsampler parity (reference modules/model.py:342-348 ConvTranspose1d)."""
+    B, T, C, F = 2, 25, 12, 2
+    x = np_rng.standard_normal((B, T, C)).astype(np.float32)
+    tconv = nn_t.ConvTranspose1d(C, C, kernel_size=F, stride=F)
+    ref = tconv(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2)
+
+    conv = ConvTranspose1D(features=C, kernel_size=F, stride=F)
+    # torch weight (Cin, Cout, K) -> ours (K, Cout, Cin)
+    params = {"params": {
+        "kernel": to_j(tconv.weight.permute(2, 1, 0)),
+        "bias": to_j(tconv.bias),
+    }}
+    out = conv.apply(params, jnp.asarray(x))
+    assert out.shape == (B, T * F, C)
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+
+
+def test_fp32_layernorm_matches_torch(np_rng):
+    x = np_rng.standard_normal((3, 7, 32)).astype(np.float32)
+    tln = nn_t.LayerNorm(32)
+    with torch.no_grad():
+        tln.weight.uniform_(0.5, 1.5)
+        tln.bias.uniform_(-0.5, 0.5)
+    ref = tln(torch.from_numpy(x))
+    ln = FP32LayerNorm()
+    params = {"params": {"scale": to_j(tln.weight), "bias": to_j(tln.bias)}}
+    out = ln.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+
+
+def test_fp32_groupnorm_matches_torch(np_rng):
+    """GroupNorm(d, d) as in the extractor's first block (modules/module.py:69)."""
+    B, T, C = 2, 30, 16
+    x = np_rng.standard_normal((B, T, C)).astype(np.float32)
+    tgn = nn_t.GroupNorm(C, C)
+    with torch.no_grad():
+        tgn.weight.uniform_(0.5, 1.5)
+        tgn.bias.uniform_(-0.5, 0.5)
+    ref = tgn(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2)
+    gn = FP32GroupNorm(num_groups=C)
+    params = {"params": {"scale": to_j(tgn.weight), "bias": to_j(tgn.bias)}}
+    out = gn.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+
+    # grouped (num_groups < C) variant
+    tgn2 = nn_t.GroupNorm(4, C)
+    ref2 = tgn2(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2)
+    gn2 = FP32GroupNorm(num_groups=4)
+    params2 = {"params": {"scale": to_j(tgn2.weight), "bias": to_j(tgn2.bias)}}
+    out2 = gn2.apply(params2, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out2), ref2.detach().numpy(), **TOL)
+
+
+def test_positional_conv_weight_norm_matches_torch(np_rng):
+    """pos_conv parity incl. weight-norm fold (reference modules/module.py:186-208)."""
+    B, T, E, K, G = 2, 64, 32, 16, 4
+    x = np_rng.standard_normal((B, T, E)).astype(np.float32)
+
+    tconv = nn_t.Conv1d(E, E, kernel_size=K, padding=K // 2, groups=G)
+    tconv = nn_t.utils.weight_norm(tconv, name="weight", dim=2)
+    seq = nn_t.Sequential(tconv)
+    xt = torch.from_numpy(x).transpose(1, 2)
+    y = tconv(xt)
+    if K % 2 == 0:
+        y = y[:, :, :-1]
+    ref = nn_t.functional.gelu(y.transpose(1, 2))
+
+    pc = PositionalConv(embed_dim=E, kernel_size=K, groups=G)
+    params = {"params": {
+        # torch weight_v (E, E/G, K) -> ours (K, E/G, E); weight_g (1,1,K) -> (K,)
+        "weight_v": to_j(tconv.weight_v.permute(2, 1, 0)),
+        "weight_g": to_j(tconv.weight_g.reshape(-1)),
+        "bias": to_j(tconv.bias),
+    }}
+    out = pc.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+
+
+def test_mha_matches_torch_semantics(np_rng):
+    """fairseq MHA semantics: q*scaling, -inf key mask, fp32 softmax.
+
+    Oracle: torch.nn.MultiheadAttention (same math as fairseq's)."""
+    B, T, E, H = 2, 10, 16, 4
+    x = np_rng.standard_normal((B, T, E)).astype(np.float32)
+    pad = np.zeros((B, T), bool)
+    pad[1, 7:] = True
+
+    tmha = nn_t.MultiheadAttention(E, H, batch_first=True)
+    ref, _ = tmha(
+        torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x),
+        key_padding_mask=torch.from_numpy(pad), need_weights=False,
+    )
+
+    mha = MultiHeadSelfAttention(embed_dim=E, num_heads=H, use_pallas=False)
+    w = tmha.in_proj_weight.detach().numpy()
+    b = tmha.in_proj_bias.detach().numpy()
+    params = {"params": {
+        "q_proj": {"kernel": jnp.asarray(w[:E].T), "bias": jnp.asarray(b[:E])},
+        "k_proj": {"kernel": jnp.asarray(w[E:2*E].T), "bias": jnp.asarray(b[E:2*E])},
+        "v_proj": {"kernel": jnp.asarray(w[2*E:].T), "bias": jnp.asarray(b[2*E:])},
+        "out_proj": {"kernel": to_j(tmha.out_proj.weight.T),
+                     "bias": to_j(tmha.out_proj.bias)},
+    }}
+    out, taps = mha.apply(params, jnp.asarray(x), jnp.asarray(pad))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), **TOL)
+    assert taps.attn_logits is None
+
+    # taps: logits must be (B*H, T, T) with -inf at padded keys
+    out2, taps2 = mha.apply(params, jnp.asarray(x), jnp.asarray(pad), need_taps=True)
+    assert taps2.attn_logits.shape == (B * H, T, T)
+    assert np.isneginf(np.asarray(taps2.attn_logits[H, 0, 7]))
+    assert taps2.v_rel.shape == (B * H, T, T)
+
+
+def test_split_linear_matches_reference_einsum(np_rng):
+    """SplitLinear einsum parity (reference modules/module.py:606-619)."""
+    B, T, N, Din, Dout = 2, 5, 3, 8, 6
+    x = np_rng.standard_normal((B, T, N * Din)).astype(np.float32)
+    w = np_rng.standard_normal((N, Din, Dout)).astype(np.float32)
+    bias = np_rng.standard_normal((1, 1, N, Dout)).astype(np.float32)
+
+    xt = torch.from_numpy(x).reshape(B, T, N, 1, Din)
+    ref = torch.einsum("...klm,kmn->...kln", xt, torch.from_numpy(w)).squeeze(3)
+    ref = (ref + torch.from_numpy(bias)).reshape(B, T, -1)
+
+    sl = SplitLinear(in_dim=Din, in_split=N, out_dim=Dout)
+    params = {"params": {"weight": jnp.asarray(w), "bias": jnp.asarray(bias)}}
+    out = sl.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), **TOL)
+
+
+def test_grad_multiply():
+    from fithubert_tpu.ops.conv import grad_multiply
+
+    g = jax.grad(lambda x: jnp.sum(grad_multiply(x, 0.25) ** 2))(jnp.ones((4,)))
+    np.testing.assert_allclose(np.asarray(g), 0.5 * np.ones(4), rtol=1e-6)
