@@ -1,0 +1,88 @@
+"""Host-side audio decoding with pluggable backends.
+
+The reference decodes flac via torchaudio/libsox (reference utils/dataset.py:
+59-61). This environment ships neither; decode order here:
+
+  1. native C++ decoder (native/libaudioio.so, FLAC + WAV, via ctypes) — the
+     framework's native data-loader component
+  2. soundfile, if importable
+  3. scipy.io.wavfile for .wav
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "build", "libaudioio.so"),
+        os.path.join(here, "native", "libaudioio.so"),
+    ):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.audioio_decode.restype = ctypes.c_longlong
+            lib.audioio_decode.argtypes = [
+                ctypes.c_char_p,            # path
+                ctypes.POINTER(ctypes.c_float),  # out buffer (or NULL to query)
+                ctypes.c_longlong,          # buffer capacity (samples)
+                ctypes.POINTER(ctypes.c_int),    # out sample rate
+            ]
+            _NATIVE = lib
+            break
+    return _NATIVE
+
+
+def decode(path: str) -> np.ndarray:
+    """Decode an audio file to mono float32 [-1, 1]."""
+    lib = _load_native()
+    if lib is not None and path.lower().endswith((".flac", ".wav")):
+        sr = ctypes.c_int(0)
+        n = lib.audioio_decode(path.encode(), None, 0, ctypes.byref(sr))
+        if n > 0:
+            buf = np.empty(int(n), dtype=np.float32)
+            got = lib.audioio_decode(
+                path.encode(),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                int(n),
+                ctypes.byref(sr),
+            )
+            if got == n:
+                return buf
+    try:
+        import soundfile
+
+        wav, _sr = soundfile.read(path, dtype="float32", always_2d=False)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1)
+        return wav.astype(np.float32)
+    except ImportError:
+        pass
+    if path.lower().endswith(".wav"):
+        from scipy.io import wavfile
+
+        _sr, wav = wavfile.read(path)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        elif wav.dtype == np.int32:
+            wav = wav.astype(np.float32) / 2147483648.0
+        else:
+            wav = wav.astype(np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1)
+        return wav
+    raise RuntimeError(
+        f"no decoder available for {path}: build native/libaudioio.so (make -C native)"
+    )

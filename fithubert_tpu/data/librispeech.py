@@ -1,0 +1,189 @@
+"""Length-bucketed LibriSpeech pipeline with XLA-friendly shape quantization.
+
+Reference semantics (utils/dataset.py:11-77): read per-split CSVs
+(file_path,length), sort all utterances by length DESCENDING, chunk into
+fixed batch_size buckets, pad each bucket to its longest utterance.
+
+TPU deltas (SURVEY.md §5.7): padded lengths are quantized UP to multiples of
+`length_quantum` samples so XLA sees a small closed set of shapes (the
+reference's exact-length padding would trigger thousands of recompiles);
+grad-accumulation microbatches are grouped into one (A, B, T) step batch
+padded to the group max; decode happens on a host thread pool with
+prefetching. Per-host sharding for multi-host meshes is a simple stride over
+buckets.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import csv
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fithubert_tpu.config import DataConfig
+from fithubert_tpu.data import audio
+
+
+def read_bucket_csvs(file_path: str, sets: Sequence[str]) -> List[Tuple[str, int]]:
+    """Read (file_path, length) rows from the reference's bucket CSVs."""
+    rows: List[Tuple[str, int]] = []
+    for s in sets:
+        with open(os.path.join(file_path, s + ".csv")) as f:
+            reader = csv.DictReader(f)
+            for r in reader:
+                rows.append((r["file_path"], int(r["length"])))
+    rows.sort(key=lambda t: -t[1])
+    return rows
+
+
+def make_buckets(
+    rows: List[Tuple[str, int]], batch_size: int
+) -> List[List[Tuple[str, int]]]:
+    """Fixed-size buckets over the descending-length list (dataset.py:38-53).
+
+    The reference keeps a trailing partial bucket only if it has >1 items."""
+    buckets = [
+        rows[i : i + batch_size] for i in range(0, len(rows), batch_size)
+    ]
+    if buckets and len(buckets[-1]) <= 1:
+        buckets.pop()
+    elif buckets and len(buckets[-1]) < batch_size:
+        pass  # keep partial bucket (>1 items), matching the reference
+    return buckets
+
+
+def quantize_length(length: int, quantum: int, max_length: int = 0) -> int:
+    q = ((length + quantum - 1) // quantum) * quantum if quantum > 1 else length
+    if max_length > 0:
+        q = min(q, max_length)
+    return max(q, quantum if quantum > 1 else length)
+
+
+class BucketedLibriSpeech:
+    """Iterable over (A, B, T) step batches of padded waveforms + masks."""
+
+    def __init__(
+        self,
+        cfg: DataConfig,
+        sets: Sequence[str],
+        batch_size: int,
+        accum: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        pad_batch_to_full: bool = True,
+    ):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.accum = max(1, accum)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.pad_batch_to_full = pad_batch_to_full
+        rows = read_bucket_csvs(cfg.bucketing_path, sets)
+        if cfg.max_wav_length > 0:
+            rows = [(p, min(l, cfg.max_wav_length)) for (p, l) in rows]
+        buckets = make_buckets(rows, batch_size)
+        self.buckets = buckets[host_id::num_hosts]
+        self.num_samples = sum(len(b) for b in self.buckets)
+
+    def __len__(self) -> int:
+        return len(self.buckets) // self.accum
+
+    def _load_bucket(self, bucket, t_pad: int):
+        b = len(bucket)
+        out_b = self.batch_size if self.pad_batch_to_full else b
+        x = np.zeros((out_b, t_pad), dtype=np.float32)
+        mask = np.ones((out_b, t_pad), dtype=bool)
+        for i, (path, _length) in enumerate(bucket):
+            wav = audio.decode(os.path.join(self.cfg.libri_root, path))
+            if self.cfg.max_wav_length > 0:
+                wav = wav[: self.cfg.max_wav_length]
+            n = min(len(wav), t_pad)
+            x[i, :n] = wav[:n]
+            mask[i, :n] = False
+        return x, mask
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield step batches; buckets shuffled per epoch (train.py:425 shuffle=True)."""
+        order = np.arange(len(self.buckets))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+        groups = [
+            order[i : i + self.accum]
+            for i in range(0, len(order) - self.accum + 1, self.accum)
+        ]
+
+        def build(group):
+            bs = [self.buckets[int(g)] for g in group]
+            t_pad = max(
+                quantize_length(
+                    max(l for (_p, l) in b), self.cfg.length_quantum,
+                    self.cfg.max_wav_length,
+                )
+                for b in bs
+            )
+            xs, masks = zip(*(self._load_bucket(b, t_pad) for b in bs))
+            return {
+                "x": np.stack(xs),  # (A, B, T)
+                "padding_mask": np.stack(masks),
+            }
+
+        with cf.ThreadPoolExecutor(max_workers=max(1, self.cfg.num_workers)) as ex:
+            pending: "queue.Queue" = queue.Queue()
+            it = iter(groups)
+            for _ in range(self.cfg.prefetch + 1):
+                g = next(it, None)
+                if g is not None:
+                    pending.put(ex.submit(build, g))
+            while not pending.empty():
+                fut = pending.get()
+                g = next(it, None)
+                if g is not None:
+                    pending.put(ex.submit(build, g))
+                yield fut.result()
+
+
+class SyntheticDataset:
+    """Corpus-free batches (benches/smoke tests): harmonic sweeps + noise."""
+
+    def __init__(self, cfg: DataConfig, batch_size: int, accum: int = 1, seed: int = 0):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.accum = max(1, accum)
+        self.seed = seed
+        self.num_samples = cfg.synthetic_num_batches * batch_size
+
+    def __len__(self) -> int:
+        return max(1, self.cfg.synthetic_num_batches // self.accum)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        t = quantize_length(
+            self.cfg.synthetic_wav_length, self.cfg.length_quantum
+        )
+        for _ in range(len(self)):
+            ts = np.arange(t, dtype=np.float32) / 16000.0
+            f0 = rng.uniform(80, 300, size=(self.accum, self.batch_size, 1))
+            x = 0.1 * np.sin(2 * np.pi * f0 * ts) + 0.01 * rng.standard_normal(
+                (self.accum, self.batch_size, t)
+            ).astype(np.float32)
+            lengths = rng.integers(int(0.8 * t), t + 1, size=(self.accum, self.batch_size))
+            mask = np.arange(t)[None, None, :] >= lengths[..., None]
+            x = np.where(mask, 0.0, x).astype(np.float32)
+            yield {"x": x, "padding_mask": mask}
+
+
+def make_dataset(
+    cfg: DataConfig, sets: Sequence[str], batch_size: int, accum: int = 1,
+    shuffle: bool = True, seed: int = 0, host_id: int = 0, num_hosts: int = 1,
+):
+    if cfg.synthetic:
+        return SyntheticDataset(cfg, batch_size, accum, seed)
+    return BucketedLibriSpeech(
+        cfg, sets, batch_size, accum, shuffle, seed, host_id, num_hosts
+    )

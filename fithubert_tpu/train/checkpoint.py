@@ -1,0 +1,92 @@
+"""Checkpoint / resume via Orbax + the export pair for the s3prl expert.
+
+Reference contract (SURVEY.md §5.4): Lightning ModelCheckpoint keeps top-3 by
+v_loss plus last (reference train.py:475-483), resumes via ckpt_path
+(train.py:506-509), and a companion YAML written at init (utils/utils.py:153-
+180) is the model-config half the s3prl expert later consumes. Here:
+
+  - Orbax CheckpointManager `best/` keeps top-k by v_loss; `last/` keeps the
+    newest (async-capable, atomic).
+  - `export_student(...)` writes the (yaml, student-weights msgpack) pair —
+    the checkpoint contract consumed by export/expert.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+from flax import serialization
+
+from fithubert_tpu.config import ExperimentConfig, dump_yaml_config
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_top_k: int = 3):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._best = ocp.CheckpointManager(
+            os.path.join(directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=save_top_k,
+                best_fn=lambda m: m["v_loss"],
+                best_mode="min",
+            ),
+        )
+        self._last = ocp.CheckpointManager(
+            os.path.join(directory, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+
+    def save(self, step: int, state, v_loss: float) -> None:
+        args = ocp.args.StandardSave(state)
+        self._best.save(step, args=args, metrics={"v_loss": float(v_loss)})
+        self._last.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._best.wait_until_finished()
+        self._last.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._last.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore into the structure of `state_template` (abstract ok)."""
+        step = step if step is not None else self._last.latest_step()
+        if step is None:
+            return None
+        return self._last.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def restore_best(self, state_template):
+        step = self._best.best_step()
+        if step is None:
+            return None
+        return self._best.restore(step, args=ocp.args.StandardRestore(state_template))
+
+
+def export_student(
+    cfg: ExperimentConfig, student_params: Any, out_dir: str, tag: str = "student"
+) -> Tuple[str, str]:
+    """Write the (config yaml, weights msgpack) export pair.
+
+    This is the framework's equivalent of the Lightning-ckpt +
+    dumped-yaml pair the reference s3prl expert loads (fithubert/expert.py:
+    25-45, stripping the 'student_model.' prefix); ours stores the student
+    params pytree directly."""
+    os.makedirs(out_dir, exist_ok=True)
+    yaml_path = os.path.join(out_dir, f"{tag}.yaml")
+    dump_yaml_config(cfg, yaml_path)
+    weights_path = os.path.join(out_dir, f"{tag}.msgpack")
+    params = jax.device_get(student_params)
+    with open(weights_path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return yaml_path, weights_path
+
+
+def load_student_export(yaml_path: str, weights_path: str, params_template: Any):
+    with open(weights_path, "rb") as f:
+        return serialization.from_bytes(params_template, f.read())

@@ -1,0 +1,173 @@
+"""Training orchestration: the L5/L6 equivalent of the reference's Lightning
+Trainer wiring (reference train.py:449-509) — epochs, per-epoch random-layer
+resampling, validation with v_loss monitoring, top-k + last checkpointing,
+early stopping, resume, and final export.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fithubert_tpu.config import ExperimentConfig, dump_yaml_config
+from fithubert_tpu.data import make_dataset
+from fithubert_tpu.models import TeacherGeometry
+from fithubert_tpu.parallel import make_mesh
+from fithubert_tpu.train.checkpoint import CheckpointManager, export_student
+from fithubert_tpu.train.step import Distiller, TrainState
+from fithubert_tpu.utils.logging import MetricsLogger
+
+
+def _sample_rand_layers(rng: random.Random, cfg: ExperimentConfig) -> np.ndarray:
+    """Per-epoch random distill layers (reference train.py:88-91,172-174):
+    sample(range(N-1), k) — the release config's k = N-1 selects all."""
+    n = cfg.distiller.encoder_layers
+    k = cfg.loss.distil_random_layer
+    return np.asarray(rng.sample(range(n - 1), k), dtype=np.int32)
+
+
+def load_teacher(cfg: ExperimentConfig, distiller: Distiller, rng, sample_wav):
+    """Load converted fairseq weights if present; else random teacher (smoke)."""
+    path = cfg.teacher.teacher_model
+    if path and os.path.exists(path):
+        from fithubert_tpu.export.fairseq_import import load_fairseq_teacher
+
+        geom, params = load_fairseq_teacher(path)
+        return geom, params
+    print(f"[teacher] checkpoint '{path}' not found — using randomly "
+          f"initialized {cfg.teacher.model_type} teacher (smoke mode)")
+    return distiller.teacher_geometry, distiller.init_teacher_params(rng, sample_wav)
+
+
+def run_training(
+    cfg: ExperimentConfig,
+    resume: bool = True,
+    test_only: bool = False,
+) -> Dict[str, float]:
+    out_dir = cfg.train.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    dump_yaml_config(cfg, os.path.join(out_dir, "config.yaml"))
+    logger = MetricsLogger(out_dir)
+
+    mesh = make_mesh(cfg.train.num_devices)
+    n_data = mesh.shape["data"]
+    batch_sh = NamedSharding(mesh, P(None, "data"))  # (A, B, T): shard B
+
+    train_data = make_dataset(
+        cfg.data, cfg.data.train_set, cfg.train.batch_size * n_data,
+        accum=cfg.train.accumulate_grad_batches, shuffle=True, seed=cfg.train.seed,
+    )
+    eval_data = make_dataset(
+        cfg.data, cfg.data.dev_set, cfg.train.batch_size * n_data,
+        accum=1, shuffle=False, seed=cfg.train.seed,
+    )
+    test_data = make_dataset(
+        cfg.data, cfg.data.test_set, cfg.train.batch_size * n_data,
+        accum=1, shuffle=False, seed=cfg.train.seed,
+    )
+
+    num_training_steps = max(1, cfg.train.num_epochs * len(train_data))
+    distiller = Distiller(cfg, mesh=mesh, num_training_steps=num_training_steps)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    sample = next(iter(train_data.epoch(0)))
+    sample_wav = jnp.asarray(sample["x"][0])
+
+    tg, teacher_params = load_teacher(cfg, distiller, rng, sample_wav)
+    teacher_params = distiller.shard_teacher(teacher_params)
+
+    state = distiller.init_state(jax.random.fold_in(rng, 1), sample_wav)
+    ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"), cfg.train.save_top_k)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        restored = ckpt.restore(jax.device_get(state))
+        if restored is not None:
+            state = restored
+            start_epoch = int(state.step) // max(1, len(train_data))
+            print(f"[resume] restored step {int(state.step)} (epoch {start_epoch})")
+    state = distiller.shard_state(state)
+
+    train_step = distiller.make_train_step()
+    eval_step = distiller.make_eval_step()
+    py_rng = random.Random(cfg.train.seed)
+    step_rng = jax.random.fold_in(rng, 2)
+
+    def run_eval(data, epoch: int, name: str) -> float:
+        rand = jnp.asarray(
+            _sample_rand_layers(py_rng, cfg)
+            if cfg.loss.distil_random_layer > 0
+            else np.zeros((0,), np.int32)
+        )
+        totals: Dict[str, float] = {}
+        n = 0
+        for batch in data.epoch(epoch):
+            eval_sh = NamedSharding(mesh, P("data"))
+            b = {
+                "x": jax.device_put(jnp.asarray(batch["x"][0]), eval_sh),
+                "padding_mask": jax.device_put(jnp.asarray(batch["padding_mask"][0]), eval_sh),
+            }
+            logs = eval_step(state, teacher_params, b, rand)
+            for k, v in logs.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(n, 1) for k, v in totals.items()}
+        logger.log(int(state.step), means, prefix=f"{name}/")
+        return means.get("v_loss", float("inf"))
+
+    if test_only:
+        v = run_eval(test_data, 0, "test")
+        print(f"[test] loss {v:.4f}")
+        return {"test_loss": v}
+
+    best_v = float("inf")
+    epochs_no_improve = 0
+    t_start = time.time()
+    global_step = int(state.step)
+    stop = False
+
+    for epoch in range(start_epoch, cfg.train.num_epochs):
+        rand = (
+            jnp.asarray(_sample_rand_layers(py_rng, cfg))
+            if cfg.loss.distil_random_layer > 0
+            else jnp.zeros((0,), jnp.int32)
+        )
+        for batch in train_data.epoch(epoch):
+            b = {
+                "x": jax.device_put(jnp.asarray(batch["x"]), batch_sh),
+                "padding_mask": jax.device_put(jnp.asarray(batch["padding_mask"]), batch_sh),
+            }
+            state, logs = train_step(state, teacher_params, b, rand, step_rng)
+            global_step += 1
+            if cfg.train.monitor_losses and global_step % cfg.train.log_every == 0:
+                logs = jax.device_get(logs)
+                logs["steps_per_sec"] = global_step / max(time.time() - t_start, 1e-6)
+                logger.log(global_step, logs)
+            if cfg.train.max_steps and global_step >= cfg.train.max_steps:
+                stop = True
+                break
+
+        v_loss = run_eval(eval_data, epoch, "val")
+        ckpt.save(global_step, jax.device_get(state), v_loss)
+        if v_loss < best_v:
+            best_v = v_loss
+            epochs_no_improve = 0
+        else:
+            epochs_no_improve += 1
+            if epochs_no_improve >= cfg.train.early_stop_patience:
+                print(f"[early-stop] no v_loss improvement in "
+                      f"{cfg.train.early_stop_patience} epochs")
+                stop = True
+        if stop:
+            break
+
+    ckpt.wait()
+    export_student(cfg, state.params, out_dir, tag="student")
+    logger.close()
+    return {"best_v_loss": best_v, "steps": global_step}

@@ -1,0 +1,262 @@
+"""The 6-term knowledge-distillation loss engine.
+
+Parity target: reference `W2V2Distil.calculate_loss` (train.py:236-405). Every
+term is weight-gated; in parity mode (`masked_reduction=False`, the default)
+the reductions deliberately run over PADDED positions exactly like the
+reference (train.py:284-316 applies no mask inside the loss); the corrected
+masked mode normalizes by valid elements instead.
+
+Random-layer distillation (train.py:250-267,290-293): the per-epoch layer
+subset arrives as a traced int array `rand_layers`, so re-sampling epochs
+does NOT trigger an XLA recompile (teacher hiddens are stacked once and
+gathered with jnp.take).
+
+All loss math is fp32 regardless of the model compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fithubert_tpu.config import LossConfig, StudentConfig
+from fithubert_tpu.models.student import StudentOutput
+from fithubert_tpu.models.teacher import TeacherOutput
+
+
+class LossOutput(NamedTuple):
+    total: jnp.ndarray
+    logs: Dict[str, jnp.ndarray]  # per-term and per-layer scalars
+    last_layer_loss: jnp.ndarray  # 'l{N-1}' — the reference's v_loss monitor
+    # (train.py:194-195 uses the last layer's feat loss for early stopping)
+
+
+def _masked_mean(x, mask, axes):
+    """Mean of x over `axes`, counting only valid (mask False) positions.
+
+    `mask` is a padding mask broadcastable to x (True = pad)."""
+    valid = jnp.logical_not(mask).astype(x.dtype)
+    valid = jnp.broadcast_to(valid, x.shape)
+    num = jnp.sum(x * valid, axis=axes)
+    den = jnp.maximum(jnp.sum(valid, axis=axes), 1.0)
+    return num / den
+
+
+def compute_losses(
+    loss_cfg: LossConfig,
+    student_cfg: StudentConfig,
+    student: StudentOutput,
+    teacher: TeacherOutput,
+    rand_layers: Optional[jnp.ndarray] = None,  # (R,) int32 layer ids, or None
+    ctc_logits: Optional[jnp.ndarray] = None,  # (B, T, V) student CTC head
+    labels: Optional[jnp.ndarray] = None,  # (B, U) int32, 0 = pad/blank
+    label_paddings: Optional[jnp.ndarray] = None,  # (B, U) 1.0 at padding
+) -> LossOutput:
+    cfg = loss_cfg
+    logs: Dict[str, jnp.ndarray] = {}
+    f32 = lambda x: x.astype(jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+
+    # frame-rate padding mask for masked mode (pre-TR, teacher frame rate)
+    frame_mask = None
+    if cfg.masked_reduction and teacher.padding_mask is not None:
+        frame_mask = teacher.padding_mask  # (B, T_t)
+
+    # ---- CNN post-projection loss (train.py:241-246) ------------------------
+    cnn_loss = zero
+    if cfg.cnn_loss_weight > 0:
+        sf, tf = f32(student.features), f32(teacher.features)
+        t_min = min(sf.shape[1], tf.shape[1])
+        diff = jnp.abs(sf[:, :t_min] - tf[:, :t_min])
+        if frame_mask is not None:
+            cnn_loss = jnp.mean(_masked_mean(diff, frame_mask[:, :t_min, None], (0, 1, 2)))
+        else:
+            cnn_loss = jnp.mean(diff)
+        logs["cnn_loss"] = cnn_loss
+
+    # ---- assemble pred / target stacks --------------------------------------
+    # teacher hiddens: (B, L, T_t, D)
+    teacher_stack = jnp.stack([f32(h) for (h, _, _) in teacher.layer_results], axis=1)
+
+    rec_loss = zero
+    sim_loss = zero
+    rec_layer_loss = None
+    sim_layer_loss = None
+    pred = target = None
+
+    random_mode = cfg.distil_random_layer > 0
+
+    if cfg.rec_loss_weight > 0 or cfg.sim_loss_weight > 0:
+        if random_mode:
+            assert rand_layers is not None
+            # teacher: gathered rand layers + final layer (train.py:250-258)
+            gathered = jnp.take(teacher_stack, rand_layers, axis=1)
+            target = jnp.concatenate([gathered, teacher_stack[:, -1:]], axis=1)
+            # student: layerwise projections stacked (B, L, T, D) then gathered
+            proj_stack = jnp.stack([f32(p) for p in student.projections], axis=1)
+            pred = jnp.concatenate(
+                [jnp.take(proj_stack, rand_layers, axis=1), proj_stack[:, -1:]],
+                axis=1,
+            )
+        else:
+            ids = jnp.asarray(student_cfg.pred_layer_id, jnp.int32)
+            target = jnp.take(teacher_stack, ids, axis=1)
+            if student_cfg.layerwise_proj:
+                proj_stack = jnp.stack([f32(p) for p in student.projections], axis=1)
+                pred = jnp.take(proj_stack, ids, axis=1)
+            else:
+                pred = f32(student.projections)  # (B, N, T, D)
+        # time alignment: teacher may be 1 frame longer after TR floor
+        # (train.py:282 narrow(2, 0, pred.shape[2]))
+        t_s = pred.shape[2]
+        target = target[:, :, :t_s]
+
+        layer_mask = (
+            frame_mask[:, None, :t_s, None] if frame_mask is not None else None
+        )
+
+    # ---- reconstruction loss (train.py:249-297) ------------------------------
+    if cfg.rec_loss_weight > 0:
+        if cfg.rec_loss_type == "l1":
+            elt = jnp.abs(pred - target)
+        elif cfg.rec_loss_type == "mse":
+            elt = (pred - target) ** 2
+        else:
+            raise NotImplementedError("rec_loss_type must be one of 'l1', 'mse'.")
+        if random_mode:
+            w = jnp.concatenate(
+                [jnp.full((elt.shape[1] - 1,), cfg.random_layer_weight),
+                 jnp.ones((1,))]
+            ).astype(elt.dtype)
+            elt = elt * w[None, :, None, None]
+            if layer_mask is not None:
+                rec_layer_loss = _masked_mean(elt, layer_mask, (0, 2, 3))
+            else:
+                rec_layer_loss = jnp.mean(elt, axis=(0, 2, 3))
+            rec_loss = jnp.sum(rec_layer_loss)
+        else:
+            if layer_mask is not None:
+                rec_layer_loss = _masked_mean(elt, layer_mask, (0, 2, 3))
+                rec_loss = jnp.mean(rec_layer_loss)
+            else:
+                rec_layer_loss = jax.lax.stop_gradient(jnp.mean(elt, axis=(0, 2, 3)))
+                rec_loss = jnp.mean(elt)
+
+    # ---- cosine-similarity hint loss (train.py:302-314) ----------------------
+    if cfg.sim_loss_weight > 0:
+        # F.cosine_similarity(dim=-1) with torch's eps=1e-8 denominator clamp
+        dot = jnp.sum(pred * target, axis=-1)
+        np_ = jnp.sqrt(jnp.sum(pred**2, axis=-1))
+        nt_ = jnp.sqrt(jnp.sum(target**2, axis=-1))
+        cos = dot / jnp.maximum(np_ * nt_, 1e-8)
+        elt = -jax.nn.log_sigmoid(cos)  # (B, N, T)
+        if random_mode:
+            w = jnp.concatenate(
+                [jnp.full((elt.shape[1] - 1,), cfg.random_layer_weight),
+                 jnp.ones((1,))]
+            ).astype(elt.dtype)
+            elt = elt * w[None, :, None]
+            if frame_mask is not None:
+                sim_layer_loss = _masked_mean(elt, frame_mask[:, None, : elt.shape[2]], (0, 2))
+            else:
+                sim_layer_loss = jnp.mean(elt, axis=(0, 2))
+            sim_loss = jnp.sum(sim_layer_loss)
+        else:
+            if frame_mask is not None:
+                sim_layer_loss = _masked_mean(elt, frame_mask[:, None, : elt.shape[2]], (0, 2))
+                sim_loss = jnp.mean(sim_layer_loss)
+            else:
+                sim_layer_loss = jax.lax.stop_gradient(jnp.mean(elt, axis=(0, 2)))
+                sim_loss = jnp.mean(elt)
+
+    # ---- per-layer logging (train.py:316-324) --------------------------------
+    last_layer_loss = zero
+    if rec_layer_loss is not None or sim_layer_loss is not None:
+        n_terms = (rec_layer_loss if rec_layer_loss is not None else sim_layer_loss).shape[0]
+        feat_layer = (rec_layer_loss if rec_layer_loss is not None else 0) + (
+            sim_layer_loss if sim_layer_loss is not None else 0
+        )
+        if random_mode:
+            for i in range(n_terms - 1):
+                logs[f"rand_l{i}"] = feat_layer[i]
+            last_layer_loss = feat_layer[-1]
+            logs[f"l{student_cfg.encoder_layers - 1}"] = last_layer_loss
+        else:
+            for i, pid in enumerate(student_cfg.pred_layer_id):
+                logs[f"layer{pid}"] = feat_layer[i]
+            last_layer_loss = feat_layer[-1]
+
+    # ---- attention-logit transfer (train.py:327-355) --------------------------
+    attn_loss = zero
+    if cfg.attn_loss_weight > 0:
+        s_taps = student.layer_results[-1][1]
+        t_taps = teacher.layer_results[-1][1]
+        pred_a = f32(s_taps.attn_logits)
+        targ_a = f32(t_taps.attn_logits)
+        t_min = min(pred_a.shape[1], targ_a.shape[1])
+        pred_a, targ_a = pred_a[:, :t_min, :t_min], targ_a[:, :t_min, :t_min]
+        if cfg.attn_loss_type == "mse":
+            l = (pred_a - targ_a) ** 2
+            isinf, isnan = jnp.isinf(l), jnp.isnan(l)
+            # reference scrub (train.py:337-341): count whole key-columns
+            inf_count = jnp.count_nonzero(jnp.any(isinf, axis=1)) * l.shape[-1]
+            nan_count = jnp.count_nonzero(jnp.any(isnan, axis=1)) * l.shape[-1]
+            l = jnp.where(isinf | isnan, 0.0, l)
+            attn_loss = jnp.sum(l) / (l.size - inf_count - nan_count)
+        elif cfg.attn_loss_type == "kldiv":
+            logp = jax.nn.log_softmax(pred_a, axis=-1)
+            q = jax.nn.softmax(targ_a, axis=-1)
+            l = q * (jnp.log(jnp.maximum(q, 1e-30)) - logp)
+            l = jnp.where(jnp.isinf(l) | jnp.isnan(l), 0.0, l)
+            attn_loss = jnp.mean(jnp.sum(l, axis=-1))
+        else:
+            raise NotImplementedError("attn_loss_type must be one of 'mse', 'kldiv'.")
+        logs["attn_loss"] = attn_loss
+
+    # ---- value-relation transfer (train.py:358-370) ----------------------------
+    v_rel_loss = zero
+    if cfg.v_rel_loss_weight > 0:
+        pred_v = f32(student.layer_results[-1][1].v_rel)
+        targ_v = f32(teacher.layer_results[-1][1].v_rel)
+        t_min = min(pred_v.shape[1], targ_v.shape[1])
+        pred_v, targ_v = pred_v[:, :t_min, :t_min], targ_v[:, :t_min, :t_min]
+        logp = jax.nn.log_softmax(pred_v, axis=-1)
+        q = jax.nn.softmax(targ_v, axis=-1)
+        l = q * (jnp.log(jnp.maximum(q, 1e-30)) - logp)
+        v_rel_loss = jnp.mean(jnp.sum(l, axis=-1))
+        logs["v_rel_loss"] = v_rel_loss
+
+    total = (
+        cfg.rec_loss_weight * rec_loss
+        + cfg.sim_loss_weight * sim_loss
+        + cfg.attn_loss_weight * attn_loss
+        + cfg.v_rel_loss_weight * v_rel_loss
+        + cfg.cnn_loss_weight * cnn_loss
+    )
+
+    # ---- CTC for task-specific teachers (train.py:380-403; fixed here — the
+    # reference path crashes, SURVEY.md §4) -----------------------------------
+    if ctc_logits is not None and labels is not None:
+        import optax
+
+        logit_pads = (
+            student.padding_mask.astype(jnp.float32)
+            if student.padding_mask is not None
+            else jnp.zeros(ctc_logits.shape[:2], jnp.float32)
+        )
+        if label_paddings is None:
+            label_paddings = (labels == 0).astype(jnp.float32)
+        ctc = jnp.mean(
+            optax.ctc_loss(f32(ctc_logits), logit_pads, labels, label_paddings)
+        )
+        logs["ctc_loss"] = ctc
+        total = total + cfg.ctc_loss_weight * ctc
+
+    logs["total"] = total
+    if random_mode:
+        pass  # v_loss monitor is the last-layer loss (train.py:194-195)
+    else:
+        last_layer_loss = total if last_layer_loss is zero else last_layer_loss
+    return LossOutput(total=total, logs=logs, last_layer_loss=last_layer_loss)

@@ -1,0 +1,219 @@
+"""The fused train step: teacher forward + student forward + 6-term loss +
+grad + optimizer update in ONE jitted XLA graph.
+
+This is the core TPU-native redesign (SURVEY.md §7 design stance): the
+reference runs teacher and student as two eager torch calls with hook capture
+(reference train.py:131-146) and lets Lightning drive backward/NCCL/optimizer
+in separate phases; here XLA sees the whole step, fuses across the boundary,
+and emits the data-parallel gradient all-reduce over ICI from shardings alone.
+
+Gradient accumulation (reference train.py:471,499 accumulate_grad_batches) is
+a lax.scan over a leading microbatch axis — constant memory in the number of
+microbatches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from fithubert_tpu.config import ExperimentConfig
+from fithubert_tpu.models import StudentModel, TeacherGeometry, TeacherModel
+from fithubert_tpu.parallel import batch_sharding, make_mesh, param_sharding, replicated
+from fithubert_tpu.train.losses import compute_losses
+from fithubert_tpu.train.optim import build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    extra_vars: Any  # e.g. batch_stats for conformer BatchNorm
+
+
+class Distiller:
+    """Owns teacher + student + optimizer and builds jitted steps.
+
+    Equivalent role to the reference's W2V2Distil LightningModule
+    (train.py:26-446), minus framework magic: everything is explicit
+    functions over pytrees.
+    """
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        mesh=None,
+        num_training_steps: int = 10000,
+        teacher_geometry: Optional[TeacherGeometry] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.train.num_devices)
+        geom = teacher_geometry or TeacherGeometry.from_teacher_config(cfg.teacher)
+        if cfg.train.use_fp16:
+            geom = dataclasses.replace(geom, compute_dtype="bfloat16")
+        self.teacher_geometry = geom
+        self.teacher = TeacherModel(geometry=geom)
+        self.student = StudentModel(
+            cfg=cfg.distiller,
+            specaug=cfg.specaug if cfg.train.specaug else None,
+            disable_projections=cfg.train.delete_projections,
+        )
+        self.need_taps = (
+            cfg.loss.attn_loss_weight > 0 or cfg.loss.v_rel_loss_weight > 0
+        )
+        self.tx, self.schedule = build_optimizer(cfg.optimizer, num_training_steps)
+        self._has_batch_stats = cfg.distiller.layer_type == "conformer"
+
+    # ------------------------------------------------------------------ init
+    def init_teacher_params(self, rng, sample_wav):
+        """Random teacher (tests/benches). Real runs load fairseq weights via
+        export.fairseq_import and skip this."""
+        mask = jnp.zeros(sample_wav.shape, dtype=bool)
+        return self.teacher.init(rng, sample_wav, mask)
+
+    def init_state(self, rng, sample_wav) -> TrainState:
+        mask = jnp.zeros(sample_wav.shape, dtype=bool)
+        variables = self.student.init(
+            {"params": rng, "dropout": rng, "specaug": rng, "layerdrop": rng},
+            sample_wav,
+            mask,
+        )
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            extra_vars=extra,
+        )
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place params per the mesh rules (TP if model axis > 1, else replicated)."""
+        pspec = param_sharding(self.mesh, state.params)
+        params = jax.tree.map(jax.device_put, state.params, pspec)
+        rep = replicated(self.mesh)
+        return TrainState(
+            step=jax.device_put(state.step, rep),
+            params=params,
+            opt_state=jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state),
+            extra_vars=jax.tree.map(lambda x: jax.device_put(x, rep), state.extra_vars),
+        )
+
+    def shard_teacher(self, teacher_params):
+        pspec = param_sharding(self.mesh, teacher_params)
+        return jax.tree.map(jax.device_put, teacher_params, pspec)
+
+    # ------------------------------------------------------------- loss core
+    def _forward_loss(self, params, extra_vars, teacher_params, wav, mask,
+                      rand_layers, rngs, deterministic: bool):
+        t_out = self.teacher.apply(teacher_params, wav, mask, need_taps=self.need_taps)
+        t_out = jax.tree.map(
+            lambda x: jax.lax.stop_gradient(x) if x is not None else None, t_out
+        )
+        mutable = ["batch_stats"] if (self._has_batch_stats and not deterministic) else False
+        variables = {"params": params, **extra_vars}
+        if mutable:
+            s_out, new_vars = self.student.apply(
+                variables, wav, mask, deterministic=deterministic,
+                need_taps=self.need_taps, rngs=rngs, mutable=mutable,
+            )
+        else:
+            s_out = self.student.apply(
+                variables, wav, mask, deterministic=deterministic,
+                need_taps=self.need_taps, rngs=rngs,
+            )
+            new_vars = extra_vars
+        loss_out = compute_losses(
+            self.cfg.loss, self.cfg.distiller, s_out, t_out, rand_layers=rand_layers
+        )
+        return loss_out, new_vars
+
+    # ------------------------------------------------------------ train step
+    def make_train_step(self):
+        cfg = self.cfg
+
+        def train_step(state: TrainState, teacher_params, batch, rand_layers, rng):
+            """batch: {'x': (A, B, T), 'padding_mask': (A, B, T)} — leading
+            axis = accumulation microbatches."""
+
+            def loss_fn(params, extra_vars, wav, mask, rngs):
+                loss_out, new_vars = self._forward_loss(
+                    params, extra_vars, teacher_params, wav, mask,
+                    rand_layers, rngs, deterministic=False,
+                )
+                return loss_out.total, (loss_out, new_vars)
+
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def micro(carry, inputs):
+                grads_acc, extra_vars, i = carry
+                wav, mask = inputs
+                step_rng = jax.random.fold_in(rng, state.step * 131071 + i)
+                rngs = {
+                    "dropout": jax.random.fold_in(step_rng, 0),
+                    "specaug": jax.random.fold_in(step_rng, 1),
+                    "layerdrop": jax.random.fold_in(step_rng, 2),
+                }
+                (loss, (loss_out, new_vars)), grads = grad_fn(
+                    state.params, extra_vars, wav, mask, rngs
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, new_vars, i + 1), (loss, loss_out.logs)
+
+            n_micro = batch["x"].shape[0]
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (grads, extra_vars, _), (losses, logs) = jax.lax.scan(
+                micro,
+                (zero_grads, state.extra_vars, jnp.zeros((), jnp.int32)),
+                (batch["x"], batch["padding_mask"]),
+            )
+            grads = jax.tree.map(lambda g: g / n_micro, grads)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                extra_vars=extra_vars,
+            )
+            mean_logs = jax.tree.map(jnp.mean, logs)
+            mean_logs["loss"] = jnp.mean(losses)
+            mean_logs["grad_norm"] = optax.global_norm(grads)
+            mean_logs["lr"] = self.schedule(state.step)
+            return new_state, mean_logs
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------- eval step
+    def make_eval_step(self):
+        cfg = self.cfg
+
+        def eval_step(state: TrainState, teacher_params, batch, rand_layers):
+            wav, mask = batch["x"], batch["padding_mask"]
+            loss_out, _ = self._forward_loss(
+                state.params, state.extra_vars, teacher_params, wav, mask,
+                rand_layers, rngs={}, deterministic=True,
+            )
+            logs = dict(loss_out.logs)
+            # v_loss monitor: last-layer feat loss in random mode
+            # (reference train.py:194-197), else the total
+            logs["v_loss"] = (
+                loss_out.last_layer_loss
+                if cfg.loss.distil_random_layer > 0
+                else loss_out.total
+            )
+            return logs
+
+        return jax.jit(eval_step)

@@ -1,0 +1,154 @@
+"""End-to-end train-step tests on a virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fithubert_tpu.config import (
+    ExperimentConfig,
+    LossConfig,
+    StudentConfig,
+    TeacherConfig,
+    TrainConfig,
+)
+from fithubert_tpu.models import TeacherGeometry
+from fithubert_tpu.parallel import make_mesh, shard_batch
+from fithubert_tpu.train.step import Distiller
+
+TINY_CONV = ((32, 10, 5), (64, 8, 4), (64, 4, 4))  # stride 80
+
+
+def tiny_cfg(**loss_kw):
+    student = StudentConfig(
+        conv_feature_layers=TINY_CONV,
+        encoder_layers=2,
+        encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4,
+        enable_tr_layer=True,
+        tr_layer_type="conv1d",
+        tr_layer_index=0,
+        layerwise_proj=True,
+        pred_layer_id=(1,),
+        pred_head_final_dim=48,
+        required_seq_len_multiple=1,
+        use_pallas_attention=False,
+        dropout=0.0,
+        attention_dropout=0.0,
+        dropout_input=0.0,
+    )
+    loss = LossConfig(
+        rec_loss_weight=1.0, rec_loss_type="mse", sim_loss_weight=0.0,
+        distil_random_layer=1, random_layer_weight=0.1, **loss_kw,
+    )
+    teacher = TeacherConfig(
+        encoder_layers=2, encoder_embed_dim=48, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4,
+    )
+    return ExperimentConfig(
+        teacher=teacher,
+        train=TrainConfig(batch_size=8, accumulate_grad_batches=2),
+        loss=loss,
+        distiller=student,
+    )
+
+
+def tiny_teacher_geometry():
+    return TeacherGeometry(
+        conv_feature_layers=TINY_CONV,
+        encoder_layers=2, encoder_embed_dim=48, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, use_pallas_attention=False,
+    )
+
+
+def make_batch(rng, accum=2, b=8, t=4000):
+    wav = jax.random.normal(rng, (accum, b, t)) * 0.1
+    mask = jnp.zeros((accum, b, t), dtype=bool)
+    mask = mask.at[:, -1, t // 2 :].set(True)
+    return {"x": wav, "padding_mask": mask}
+
+
+def test_loss_decreases_over_steps():
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    d = Distiller(cfg, mesh=mesh, num_training_steps=100,
+                  teacher_geometry=tiny_teacher_geometry())
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng)
+    tp = d.init_teacher_params(rng, batch["x"][0])
+    state = d.init_state(jax.random.PRNGKey(1), batch["x"][0])
+    step = d.make_train_step()
+    rand = jnp.zeros((1,), jnp.int32)
+
+    losses = []
+    for i in range(25):
+        state, logs = step(state, tp, batch, rand, jax.random.PRNGKey(2))
+        losses.append(float(logs["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 25
+    assert np.isfinite(losses).all()
+
+
+def test_data_parallel_8_devices_matches_semantics():
+    """Batch sharded over 8 CPU devices must produce finite loss and step."""
+    assert jax.device_count() == 8
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    d = Distiller(cfg, mesh=mesh, num_training_steps=100,
+                  teacher_geometry=tiny_teacher_geometry())
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng)
+    tp = d.shard_teacher(d.init_teacher_params(rng, batch["x"][0]))
+    state = d.shard_state(d.init_state(jax.random.PRNGKey(1), batch["x"][0]))
+    # shard microbatch dim=1 (per-device batch) — leading dim is grad-accum
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data"))
+    batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    step = d.make_train_step()
+    state, logs = step(state, tp, batch, jnp.zeros((1,), jnp.int32), rng)
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_tensor_parallel_mesh_runs():
+    """('data' 4 × 'model' 2) mesh: FFN/attention weights sharded on 'model'."""
+    cfg = tiny_cfg()
+    mesh = make_mesh(model_axis=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    d = Distiller(cfg, mesh=mesh, num_training_steps=100,
+                  teacher_geometry=tiny_teacher_geometry())
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng, b=4)
+    tp = d.shard_teacher(d.init_teacher_params(rng, batch["x"][0]))
+    state = d.shard_state(d.init_state(jax.random.PRNGKey(1), batch["x"][0]))
+    # check at least one param actually got model-sharded
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda p: p.sharding.spec, state.params)
+    )
+    assert any("model" in str(s) for s in shardings)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data"))
+    batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    state, logs = d.make_train_step()(state, tp, batch, jnp.zeros((1,), jnp.int32), rng)
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_eval_step_v_loss():
+    cfg = tiny_cfg()
+    d = Distiller(cfg, mesh=make_mesh(), num_training_steps=100,
+                  teacher_geometry=tiny_teacher_geometry())
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng, accum=1)
+    tp = d.init_teacher_params(rng, batch["x"][0])
+    state = d.init_state(jax.random.PRNGKey(1), batch["x"][0])
+    logs = d.make_eval_step()(
+        state, tp, {k: v[0] for k, v in batch.items()}, jnp.zeros((1,), jnp.int32)
+    )
+    assert "v_loss" in logs and np.isfinite(float(logs["v_loss"]))
+    # random mode: v_loss is the last-layer loss, not the weighted total
+    np.testing.assert_allclose(float(logs["v_loss"]), float(logs["l1"]), rtol=1e-6)
