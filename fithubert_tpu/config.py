@@ -284,6 +284,12 @@ class DataConfig:
     synthetic: bool = False  # generate sine/noise batches (no corpus needed)
     synthetic_num_batches: int = 64
     synthetic_wav_length: int = 163840
+    # Labels for the CTC fine-tune path (task-specific teachers). The
+    # reference never loads transcripts (its CTC path is broken, SURVEY.md §4);
+    # here LibriSpeech .trans.txt files are read when load_labels is set.
+    load_labels: bool = False
+    label_quantum: int = 64  # pad label width to multiples of this
+    dict_path: str = ""  # letter dict; '' = bundled data/dict.ltr.txt
 
 
 @dataclass(frozen=True)
@@ -387,6 +393,9 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> ExperimentConfig:
     data_d = _tupleize(raw.get("data", {}), DataConfig)
     known_data = {f.name for f in dataclasses.fields(DataConfig)}
     data = DataConfig(**{k: v for k, v in data_d.items() if k in known_data})
+    # task-specific (wav2vec_ctc) teachers need transcripts for GT CTC + WER/CER
+    if teacher.model_type == "wav2vec_ctc" and not data.load_labels:
+        data = dataclasses.replace(data, load_labels=True)
 
     spec_d = _tupleize(raw.get("specaug", {}), SpecAugConfig)
     known_spec = {f.name for f in dataclasses.fields(SpecAugConfig)}

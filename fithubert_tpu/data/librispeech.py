@@ -63,6 +63,25 @@ def quantize_length(length: int, quantum: int, max_length: int = 0) -> int:
     return max(q, quantum if quantum > 1 else length)
 
 
+def _load_transcript(libri_root: str, rel_path: str, cache: Dict[str, Dict[str, str]]) -> str:
+    """LibriSpeech transcript lookup: `<dir>/<spk>-<chap>.trans.txt` rows are
+    '<utt-id> <TEXT>'. Cached per trans file."""
+    d = os.path.dirname(os.path.join(libri_root, rel_path))
+    utt_id = os.path.splitext(os.path.basename(rel_path))[0]
+    spk_chap = "-".join(utt_id.split("-")[:2])
+    trans_path = os.path.join(d, spk_chap + ".trans.txt")
+    if trans_path not in cache:
+        table: Dict[str, str] = {}
+        if os.path.exists(trans_path):
+            with open(trans_path) as f:
+                for line in f:
+                    parts = line.strip().split(" ", 1)
+                    if len(parts) == 2:
+                        table[parts[0]] = parts[1]
+        cache[trans_path] = table
+    return cache[trans_path].get(utt_id, "")
+
+
 class BucketedLibriSpeech:
     """Iterable over (A, B, T) step batches of padded waveforms + masks."""
 
@@ -90,15 +109,31 @@ class BucketedLibriSpeech:
         buckets = make_buckets(rows, batch_size)
         self.buckets = buckets[host_id::num_hosts]
         self.num_samples = sum(len(b) for b in self.buckets)
+        self._trans_cache: Dict[str, Dict[str, str]] = {}
+        self._dictionary = None
+        if cfg.load_labels:
+            from fithubert_tpu.utils.text import LetterDictionary, default_dict_path
+
+            path = cfg.dict_path or default_dict_path()
+            self._dictionary = (
+                LetterDictionary.load(path)
+                if os.path.exists(path)
+                else LetterDictionary()
+            )
 
     def __len__(self) -> int:
         return len(self.buckets) // self.accum
 
-    def _load_bucket(self, bucket, t_pad: int):
+    def _load_bucket(self, bucket, t_pad: int, u_pad: int = 0):
         b = len(bucket)
         out_b = self.batch_size if self.pad_batch_to_full else b
         x = np.zeros((out_b, t_pad), dtype=np.float32)
         mask = np.ones((out_b, t_pad), dtype=bool)
+        labels = label_pads = None
+        transcripts: List[str] = []
+        if self._dictionary is not None:
+            labels = np.zeros((out_b, u_pad), dtype=np.int32)
+            label_pads = np.ones((out_b, u_pad), dtype=np.float32)
         for i, (path, _length) in enumerate(bucket):
             wav = audio.decode(os.path.join(self.cfg.libri_root, path))
             if self.cfg.max_wav_length > 0:
@@ -106,7 +141,13 @@ class BucketedLibriSpeech:
             n = min(len(wav), t_pad)
             x[i, :n] = wav[:n]
             mask[i, :n] = False
-        return x, mask
+            if self._dictionary is not None:
+                text = _load_transcript(self.cfg.libri_root, path, self._trans_cache)
+                transcripts.append(text)
+                ids = self._dictionary.encode(text)[:u_pad]
+                labels[i, : len(ids)] = ids
+                label_pads[i, : len(ids)] = 0.0
+        return x, mask, labels, label_pads, transcripts
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield step batches; buckets shuffled per epoch (train.py:425 shuffle=True)."""
@@ -127,11 +168,19 @@ class BucketedLibriSpeech:
                 )
                 for b in bs
             )
-            xs, masks = zip(*(self._load_bucket(b, t_pad) for b in bs))
-            return {
-                "x": np.stack(xs),  # (A, B, T)
-                "padding_mask": np.stack(masks),
+            # label width scales with audio length (~1 char / 400 samples is a
+            # safe LibriSpeech upper bound), quantized for shape stability
+            u_pad = quantize_length(t_pad // 400 + 16, self.cfg.label_quantum)
+            loaded = [self._load_bucket(b, t_pad, u_pad) for b in bs]
+            batch = {
+                "x": np.stack([l[0] for l in loaded]),  # (A, B, T)
+                "padding_mask": np.stack([l[1] for l in loaded]),
             }
+            if self._dictionary is not None:
+                batch["labels"] = np.stack([l[2] for l in loaded])
+                batch["label_paddings"] = np.stack([l[3] for l in loaded])
+                batch["_transcripts"] = [l[4] for l in loaded]  # host-only
+            return batch
 
         with cf.ThreadPoolExecutor(max_workers=max(1, self.cfg.num_workers)) as ex:
             pending: "queue.Queue" = queue.Queue()
@@ -175,7 +224,31 @@ class SyntheticDataset:
             lengths = rng.integers(int(0.8 * t), t + 1, size=(self.accum, self.batch_size))
             mask = np.arange(t)[None, None, :] >= lengths[..., None]
             x = np.where(mask, 0.0, x).astype(np.float32)
-            yield {"x": x, "padding_mask": mask}
+            batch = {"x": x, "padding_mask": mask}
+            if self.cfg.load_labels:
+                from fithubert_tpu.utils.text import LETTERS, SPECIALS, LetterDictionary
+
+                u_pad = quantize_length(t // 400 + 16, self.cfg.label_quantum)
+                n_sym = len(SPECIALS) + len(LETTERS)
+                labels = np.zeros((self.accum, self.batch_size, u_pad), np.int32)
+                pads = np.ones((self.accum, self.batch_size, u_pad), np.float32)
+                look_up = LetterDictionary().look_up
+                transcripts = []
+                for a in range(self.accum):
+                    row = []
+                    for b in range(self.batch_size):
+                        u = int(rng.integers(4, max(5, u_pad // 2)))
+                        ids = rng.integers(4, n_sym, size=u)
+                        labels[a, b, :u] = ids
+                        pads[a, b, :u] = 0.0
+                        row.append(
+                            " ".join("".join(look_up[ids]).split("|")).rstrip()
+                        )
+                    transcripts.append(row)
+                batch["labels"] = labels
+                batch["label_paddings"] = pads
+                batch["_transcripts"] = transcripts
+            yield batch
 
 
 def make_dataset(

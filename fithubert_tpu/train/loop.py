@@ -96,6 +96,13 @@ def run_training(
 
     train_step = distiller.make_train_step()
     eval_step = distiller.make_eval_step()
+    task_specific = not cfg.distiller.teacher_task_agnostic
+    predict_step = decoder = None
+    if task_specific:
+        from fithubert_tpu.utils.text import GreedyCTCDecoder
+
+        decoder = GreedyCTCDecoder()
+        predict_step = distiller.make_predict_step(len(decoder.dictionary))
     py_rng = random.Random(cfg.train.seed)
     step_rng = jax.random.fold_in(rng, 2)
 
@@ -107,17 +114,32 @@ def run_training(
         )
         totals: Dict[str, float] = {}
         n = 0
+        refs, hyps = [], []
         for batch in data.epoch(epoch):
             eval_sh = NamedSharding(mesh, P("data"))
+            transcripts = batch.get("_transcripts")
             b = {
-                "x": jax.device_put(jnp.asarray(batch["x"][0]), eval_sh),
-                "padding_mask": jax.device_put(jnp.asarray(batch["padding_mask"][0]), eval_sh),
+                k: jax.device_put(jnp.asarray(v[0]), eval_sh)
+                for k, v in batch.items()
+                if not k.startswith("_")
             }
             logs = eval_step(state, teacher_params, b, rand)
             for k, v in logs.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
+            # WER/CER for task-specific teachers (reference train.py:188-207,
+            # fixed — the reference never initializes its metrics, SURVEY.md §4)
+            if predict_step is not None and transcripts:
+                ids, _ = predict_step(state, b)
+                for row_ids, ref in zip(np.asarray(ids), transcripts[0]):
+                    hyps.append(decoder.decode(row_ids))
+                    refs.append(ref)
         means = {k: v / max(n, 1) for k, v in totals.items()}
+        if refs:
+            from fithubert_tpu.utils.text import cer, wer
+
+            means["wer"] = wer(refs, hyps)
+            means["cer"] = cer(refs, hyps)
         logger.log(int(state.step), means, prefix=f"{name}/")
         return means.get("v_loss", float("inf"))
 
@@ -140,8 +162,9 @@ def run_training(
         )
         for batch in train_data.epoch(epoch):
             b = {
-                "x": jax.device_put(jnp.asarray(batch["x"]), batch_sh),
-                "padding_mask": jax.device_put(jnp.asarray(batch["padding_mask"]), batch_sh),
+                k: jax.device_put(jnp.asarray(v), batch_sh)
+                for k, v in batch.items()
+                if not k.startswith("_")
             }
             state, logs = train_step(state, teacher_params, b, rand, step_rng)
             global_step += 1

@@ -44,6 +44,31 @@ def _masked_mean(x, mask, axes):
     return num / den
 
 
+def collapse_pseudo_labels(ids: jnp.ndarray, blank: int = 0):
+    """Jit-safe CTC collapse of teacher argmax ids (B, T) -> fixed-width
+    padded labels.
+
+    Equivalent of the reference's per-sequence CTCSequenceConverter call on
+    teacher predictions (train.py:386-390, utils/utils.py:40-48), but shape-
+    static: duplicates/blanks are dropped by scatter-compaction instead of
+    Python groupby. Returns (labels (B, T) int32 front-packed,
+    label_paddings (B, T) float32 with 1.0 at padding).
+    """
+    b, t = ids.shape
+    prev = jnp.pad(ids[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    keep = (ids != prev) & (ids != blank)
+    pos = jnp.cumsum(keep, axis=1) - 1  # destination index per kept token
+    dest = jnp.where(keep, pos, t)  # out-of-bounds -> dropped
+
+    def compact(row_ids, row_dest):
+        return jnp.zeros((t,), row_ids.dtype).at[row_dest].set(row_ids, mode="drop")
+
+    labels = jax.vmap(compact)(ids, dest)
+    counts = jnp.sum(keep, axis=1)
+    label_paddings = (jnp.arange(t)[None, :] >= counts[:, None]).astype(jnp.float32)
+    return labels.astype(jnp.int32), label_paddings
+
+
 def compute_losses(
     loss_cfg: LossConfig,
     student_cfg: StudentConfig,
@@ -53,6 +78,7 @@ def compute_losses(
     ctc_logits: Optional[jnp.ndarray] = None,  # (B, T, V) student CTC head
     labels: Optional[jnp.ndarray] = None,  # (B, U) int32, 0 = pad/blank
     label_paddings: Optional[jnp.ndarray] = None,  # (B, U) 1.0 at padding
+    logit_paddings: Optional[jnp.ndarray] = None,  # (B, T) 1.0 at padding
 ) -> LossOutput:
     cfg = loss_cfg
     logs: Dict[str, jnp.ndarray] = {}
@@ -241,9 +267,12 @@ def compute_losses(
     if ctc_logits is not None and labels is not None:
         import optax
 
+        # Parity note: the reference passes FULL input lengths to F.ctc_loss
+        # (train.py:396-400 torch.full(..., T)) — padding is ignored unless a
+        # logit_paddings mask is supplied explicitly (our corrected mode).
         logit_pads = (
-            student.padding_mask.astype(jnp.float32)
-            if student.padding_mask is not None
+            logit_paddings.astype(jnp.float32)
+            if logit_paddings is not None
             else jnp.zeros(ctc_logits.shape[:2], jnp.float32)
         )
         if label_paddings is None:

@@ -113,7 +113,8 @@ class Distiller:
 
     # ------------------------------------------------------------- loss core
     def _forward_loss(self, params, extra_vars, teacher_params, wav, mask,
-                      rand_layers, rngs, deterministic: bool):
+                      rand_layers, rngs, deterministic: bool,
+                      labels=None, label_paddings=None):
         t_out = self.teacher.apply(teacher_params, wav, mask, need_taps=self.need_taps)
         t_out = jax.tree.map(
             lambda x: jax.lax.stop_gradient(x) if x is not None else None, t_out
@@ -131,8 +132,31 @@ class Distiller:
                 need_taps=self.need_taps, rngs=rngs,
             )
             new_vars = extra_vars
+
+        # ---- CTC for task-specific (wav2vec_ctc) teachers. The student's
+        # final output x IS the vocab-dim logits (reference train.py:383);
+        # labels are ground truth when provided, else the teacher's collapsed
+        # greedy predictions (reference train.py:385-395 — working here,
+        # whereas the reference path crashes, SURVEY.md §4).
+        ctc_logits = None
+        if not self.cfg.distiller.teacher_task_agnostic and self.cfg.loss.ctc_loss_weight > 0:
+            ctc_logits = s_out.x
+            if not self.cfg.loss.use_gt_for_ctc:
+                labels = label_paddings = None  # force teacher pseudo-labels
+            if labels is None and t_out.ctc_logits is not None:
+                from fithubert_tpu.train.losses import collapse_pseudo_labels
+
+                pseudo = jnp.argmax(t_out.ctc_logits, axis=-1)
+                if t_out.padding_mask is not None:
+                    pseudo = jnp.where(t_out.padding_mask, 0, pseudo)
+                labels, label_paddings = collapse_pseudo_labels(pseudo)
+            if labels is None:
+                ctc_logits = None  # nothing to supervise against
+
         loss_out = compute_losses(
-            self.cfg.loss, self.cfg.distiller, s_out, t_out, rand_layers=rand_layers
+            self.cfg.loss, self.cfg.distiller, s_out, t_out,
+            rand_layers=rand_layers, ctc_logits=ctc_logits,
+            labels=labels, label_paddings=label_paddings,
         )
         return loss_out, new_vars
 
@@ -144,10 +168,11 @@ class Distiller:
             """batch: {'x': (A, B, T), 'padding_mask': (A, B, T)} — leading
             axis = accumulation microbatches."""
 
-            def loss_fn(params, extra_vars, wav, mask, rngs):
+            def loss_fn(params, extra_vars, wav, mask, labels, label_paddings, rngs):
                 loss_out, new_vars = self._forward_loss(
                     params, extra_vars, teacher_params, wav, mask,
                     rand_layers, rngs, deterministic=False,
+                    labels=labels, label_paddings=label_paddings,
                 )
                 return loss_out.total, (loss_out, new_vars)
 
@@ -155,7 +180,6 @@ class Distiller:
 
             def micro(carry, inputs):
                 grads_acc, extra_vars, i = carry
-                wav, mask = inputs
                 step_rng = jax.random.fold_in(rng, state.step * 131071 + i)
                 rngs = {
                     "dropout": jax.random.fold_in(step_rng, 0),
@@ -163,7 +187,8 @@ class Distiller:
                     "layerdrop": jax.random.fold_in(step_rng, 2),
                 }
                 (loss, (loss_out, new_vars)), grads = grad_fn(
-                    state.params, extra_vars, wav, mask, rngs
+                    state.params, extra_vars, inputs["x"], inputs["padding_mask"],
+                    inputs.get("labels"), inputs.get("label_paddings"), rngs,
                 )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, new_vars, i + 1), (loss, loss_out.logs)
@@ -175,7 +200,7 @@ class Distiller:
             (grads, extra_vars, _), (losses, logs) = jax.lax.scan(
                 micro,
                 (zero_grads, state.extra_vars, jnp.zeros((), jnp.int32)),
-                (batch["x"], batch["padding_mask"]),
+                dict(batch),
             )
             grads = jax.tree.map(lambda g: g / n_micro, grads)
             updates, opt_state = self.tx.update(
@@ -196,6 +221,25 @@ class Distiller:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    # ---------------------------------------------------------- predict step
+    def make_predict_step(self, vocab_size: int = 32):
+        """Greedy student predictions for WER/CER (reference train.py:188-192).
+
+        The student head can be wider than the letter vocabulary (the
+        reference distills to 768-d and CTC-decodes the same tensor); argmax
+        is restricted to the dictionary rows so ids stay decodable.
+        """
+
+        def predict_step(state: TrainState, batch):
+            s_out = self.student.apply(
+                {"params": state.params, **state.extra_vars},
+                batch["x"], batch["padding_mask"], deterministic=True,
+            )
+            logits = s_out.x[..., :vocab_size]
+            return jnp.argmax(logits, axis=-1), s_out.padding_mask
+
+        return jax.jit(predict_step)
+
     # ------------------------------------------------------------- eval step
     def make_eval_step(self):
         cfg = self.cfg
@@ -205,6 +249,8 @@ class Distiller:
             loss_out, _ = self._forward_loss(
                 state.params, state.extra_vars, teacher_params, wav, mask,
                 rand_layers, rngs={}, deterministic=True,
+                labels=batch.get("labels"),
+                label_paddings=batch.get("label_paddings"),
             )
             logs = dict(loss_out.logs)
             # v_loss monitor: last-layer feat loss in random mode
