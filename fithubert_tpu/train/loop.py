@@ -84,6 +84,16 @@ def run_training(
     teacher_params = distiller.shard_teacher(teacher_params)
 
     state = distiller.init_state(jax.random.fold_in(rng, 1), sample_wav)
+    if cfg.distiller.init_conv_layers or cfg.distiller.init_encoder_layers > 0:
+        from fithubert_tpu.models.surgery import init_student_from_teacher
+
+        state = state.replace(
+            params=init_student_from_teacher(
+                jax.device_get(state.params),
+                jax.device_get(teacher_params),
+                cfg.distiller,
+            )
+        )
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"), cfg.train.save_top_k)
     start_epoch = 0
     if resume and ckpt.latest_step() is not None:
