@@ -40,9 +40,55 @@ def _load_native():
                 ctypes.c_longlong,          # buffer capacity (samples)
                 ctypes.POINTER(ctypes.c_int),    # out sample rate
             ]
+            lib.audioio_load_batch.restype = ctypes.c_int
+            lib.audioio_load_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),  # paths
+                ctypes.c_int,                     # n files
+                ctypes.POINTER(ctypes.c_float),   # out (n, t_pad)
+                ctypes.c_longlong,                # t_pad
+                ctypes.POINTER(ctypes.c_longlong),  # out lengths
+                ctypes.c_int,                     # n_threads (0 = hw)
+            ]
             _NATIVE = lib
             break
     return _NATIVE
+
+
+def decode_batch(paths, t_pad: int, n_threads: int = 0):
+    """Decode many files in parallel into a zero-padded (B, t_pad) float32
+    array + true lengths. Uses the native threaded loader when available
+    (one ctypes call for the whole bucket — the GIL is released throughout);
+    falls back to a per-file python loop.
+
+    Returns (batch (B, t_pad) float32, lengths (B,) int64). Failed files
+    decode to silence with length 0.
+    """
+    lib = _load_native()
+    n = len(paths)
+    if lib is not None and all(
+        p.lower().endswith((".flac", ".wav")) for p in paths
+    ):
+        out = np.zeros((n, t_pad), np.float32)
+        lengths = np.zeros(n, np.int64)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        lib.audioio_load_batch(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            t_pad, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            n_threads,
+        )
+        if lengths.sum() > 0:
+            return out, lengths
+    out = np.zeros((n, t_pad), np.float32)
+    lengths = np.zeros(n, np.int64)
+    for i, p in enumerate(paths):
+        try:
+            wav = decode(p)
+        except (RuntimeError, OSError):
+            continue
+        m = min(len(wav), t_pad)
+        out[i, :m] = wav[:m]
+        lengths[i] = m
+    return out, lengths
 
 
 def decode(path: str) -> np.ndarray:

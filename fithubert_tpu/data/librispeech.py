@@ -134,12 +134,14 @@ class BucketedLibriSpeech:
         if self._dictionary is not None:
             labels = np.zeros((out_b, u_pad), dtype=np.int32)
             label_pads = np.ones((out_b, u_pad), dtype=np.float32)
+        paths = [os.path.join(self.cfg.libri_root, p) for (p, _l) in bucket]
+        decoded, lengths = audio.decode_batch(paths, t_pad, self.cfg.num_workers)
+        x[:b] = decoded
         for i, (path, _length) in enumerate(bucket):
-            wav = audio.decode(os.path.join(self.cfg.libri_root, path))
-            if self.cfg.max_wav_length > 0:
-                wav = wav[: self.cfg.max_wav_length]
-            n = min(len(wav), t_pad)
-            x[i, :n] = wav[:n]
+            n = int(lengths[i])
+            if self.cfg.max_wav_length > 0 and n > self.cfg.max_wav_length:
+                n = self.cfg.max_wav_length
+                x[i, n:] = 0.0
             mask[i, :n] = False
             if self._dictionary is not None:
                 text = _load_transcript(self.cfg.libri_root, path, self._trans_cache)

@@ -1,0 +1,126 @@
+"""Bucketed LibriSpeech pipeline over a synthetic on-disk corpus: CSV
+bucketing (reference utils/dataset.py:26-53 semantics), native FLAC decode,
+shape quantization, transcripts/labels, and per-host sharding."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from fithubert_tpu.config import DataConfig
+from fithubert_tpu.data.librispeech import (
+    BucketedLibriSpeech,
+    make_buckets,
+    quantize_length,
+    read_bucket_csvs,
+)
+from tests.flac_writer import write_flac
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Fake LibriSpeech: root/<split>/<spk>/<chap>/<utt>.flac + trans + CSV."""
+    root = tmp_path_factory.mktemp("librispeech")
+    bucket_dir = root / "len_for_bucket"
+    bucket_dir.mkdir()
+    split = "train-tiny"
+    rng = np.random.default_rng(0)
+    rows = []
+    chap_dir = root / split / "1" / "2"
+    chap_dir.mkdir(parents=True)
+    trans_lines = []
+    for u in range(6):
+        n = 2000 + 700 * u
+        sig = np.round(2000 * np.sin(np.arange(n) * 0.05 + u)).astype(np.int64)
+        utt = f"1-2-{u:04d}"
+        write_flac(str(chap_dir / f"{utt}.flac"), [sig], kind="fixed1")
+        rows.append((f"{split}/1/2/{utt}.flac", n))
+        trans_lines.append(f"{utt} HELLO WORLD {u}")
+    (chap_dir / "1-2.trans.txt").write_text("\n".join(trans_lines) + "\n")
+    with open(bucket_dir / f"{split}.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file_path", "length"])
+        w.writeheader()
+        for p, l in rows:
+            w.writerow({"file_path": p, "length": l})
+    return str(root), split
+
+
+def _cfg(root, **kw):
+    return DataConfig(
+        bucketing_path=os.path.join(root, "len_for_bucket"),
+        libri_root=root,
+        length_quantum=1000,
+        num_workers=2,
+        prefetch=1,
+        **kw,
+    )
+
+
+def test_rows_sorted_descending(corpus):
+    root, split = corpus
+    rows = read_bucket_csvs(os.path.join(root, "len_for_bucket"), [split])
+    lengths = [l for _p, l in rows]
+    assert lengths == sorted(lengths, reverse=True)
+
+
+def test_trailing_single_bucket_dropped():
+    rows = [(f"f{i}", 100 - i) for i in range(7)]
+    buckets = make_buckets(rows, 3)  # 3+3+1 -> last dropped
+    assert [len(b) for b in buckets] == [3, 3]
+    buckets = make_buckets(rows + [("x", 1)], 3)  # 3+3+2 -> kept
+    assert [len(b) for b in buckets] == [3, 3, 2]
+
+
+def test_quantize_length():
+    assert quantize_length(4100, 1000) == 5000
+    assert quantize_length(4100, 1000, max_length=4500) == 4500
+    assert quantize_length(4100, 1) == 4100
+
+
+def test_epoch_batches_decode_and_mask(corpus):
+    root, split = corpus
+    ds = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, accum=1,
+                             shuffle=False)
+    batches = list(ds.epoch(0))
+    assert len(batches) == len(ds) == 3
+    for b in batches:
+        a, bs, t = b["x"].shape
+        assert (a, bs) == (1, 2)
+        assert t % 1000 == 0
+        valid = ~b["padding_mask"]
+        # decoded audio is nonzero inside the mask, zero outside
+        assert np.abs(b["x"][valid.nonzero()]).mean() > 1e-4
+        assert np.all(b["x"][b["padding_mask"]] == 0)
+
+
+def test_labels_and_transcripts(corpus):
+    root, split = corpus
+    ds = BucketedLibriSpeech(_cfg(root, load_labels=True), [split],
+                             batch_size=2, accum=1, shuffle=False)
+    b = next(iter(ds.epoch(0)))
+    assert b["labels"].shape[:2] == (1, 2)
+    assert b["label_paddings"].shape == b["labels"].shape
+    txt = b["_transcripts"][0][0]
+    assert txt.startswith("HELLO WORLD")
+    n_valid = int((1 - b["label_paddings"][0, 0]).sum())
+    assert n_valid == len(txt)  # one letter id per character ('|' for space)
+
+
+def test_host_sharding(corpus):
+    root, split = corpus
+    full = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, shuffle=False)
+    h0 = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, shuffle=False,
+                             host_id=0, num_hosts=2)
+    h1 = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, shuffle=False,
+                             host_id=1, num_hosts=2)
+    assert len(h0.buckets) + len(h1.buckets) == len(full.buckets)
+    assert h0.num_samples + h1.num_samples == full.num_samples
+
+
+def test_grad_accum_grouping(corpus):
+    root, split = corpus
+    ds = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, accum=2,
+                             shuffle=False)
+    b = next(iter(ds.epoch(0)))
+    assert b["x"].shape[0] == 2  # A microbatches
