@@ -33,8 +33,12 @@ def main():
     cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     model = StudentModel(cfg=cfg)
 
+    import sys
+
     sr = 16_000
-    if platform == "tpu":
+    if "--quick" in sys.argv:
+        b, wav_sec, iters = 1, 2.0, 2
+    elif platform == "tpu":
         b, wav_sec, iters = 32, 16.0, 30
     else:  # CPU smoke sizing
         b, wav_sec, iters = 2, 4.0, 3
@@ -50,12 +54,30 @@ def main():
     def fwd(params, wav, mask):
         return model.apply({"params": params}, wav, mask, deterministic=True).x
 
+    # On the tunneled single-chip platform block_until_ready alone can return
+    # before execution finishes (inflating numbers), but device_get can also
+    # hang entirely if the tunnel's fetch path is down. Probe once with a
+    # watchdog; use the strong barrier only if fetches actually complete.
+    import threading
+
+    def _probe_fetch() -> bool:
+        done = []
+
+        def run():
+            np.asarray(jax.device_get(jnp.zeros((1,))))
+            done.append(True)
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(timeout=60.0)
+        return bool(done)
+
+    fetch_ok = _probe_fetch()
+
     def sync(x):
-        """True completion barrier: block AND fetch one element to the host
-        (on some remote-tunnel platforms block_until_ready alone returns
-        before execution finishes, which would inflate the numbers)."""
         jax.block_until_ready(x)
-        np.asarray(jax.device_get(x[0, 0, :1]))
+        if fetch_ok:
+            np.asarray(jax.device_get(x[0, 0, :1]))
 
     # warmup / compile
     sync(fwd(params, wav, mask))

@@ -1,13 +1,21 @@
-"""Fused flash-attention kernel for TPU (Pallas), with an XLA fallback.
+"""Fused flash-attention for TPU (Pallas), forward + custom-VJP backward.
 
 The student/teacher hot loop is full bidirectional self-attention over padded
-buckets (reference modules/module.py:498-504 uses fairseq MultiheadAttention,
-O(T²) materialized). This kernel streams K/V blocks through VMEM with the
-standard online-softmax recurrence, so the T×T matrix never hits HBM.
+buckets (reference modules/module.py:498-504 materializes the T×T matrix via
+fairseq MultiheadAttention). Here K/V blocks stream through VMEM with the
+online-softmax recurrence so the T×T matrix never hits HBM, in both the
+forward and the backward pass (FlashAttention-2 style: the forward saves only
+the per-row logsumexp; the backward recomputes logits blockwise).
 
-Contract: q is PRE-SCALED by the caller (fairseq semantics apply head_dim**-0.5
-to q before QK^T); `key_padding_mask` is (B, T) with True = padding.
-Shapes: q, k, v are (B, T, H, D). Returns (B, T, H, D) in q.dtype.
+Contract: q is PRE-SCALED by the caller (fairseq semantics apply
+head_dim**-0.5 to q before QK^T); `key_padding_mask` is (B, T) True=pad.
+Shapes: q, k, v are (B, T, H, D) -> returns (B, T, H, D) in q.dtype.
+
+Tiling: kernels run fp32 with (block_q x d) / (block_k x d) tiles on the MXU;
+d (head_dim) is 40 for the 480/12 release geometry — unaligned to the 128
+lane, so XLA pads the lane dim; block_q/block_k stay multiples of 128 in the
+sublane dim. Off-TPU (or for tiny/unaligned T) everything falls back to the
+XLA reference path, which autodiffs normally.
 """
 
 from __future__ import annotations
@@ -33,11 +41,13 @@ def _attention_reference(q, k, v, key_padding_mask):
     ).astype(q.dtype)
 
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
-    """Grid: (BH, num_q_blocks, num_k_blocks) — k innermost for accumulation.
+# =========================================================== forward kernel
+def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_ref, l_ref, acc_ref):
+    """Grid: (BH, num_q_blocks, num_k_blocks) — k innermost.
 
-    Block shapes: q (1, bq, D), k/v (1, bk, D), mask (1, bk), out (1, bq, D).
-    Scratch: m/l (bq, 128) running max / normalizer, acc (bq, D) fp32.
+    Blocks: q (1, bq, D), k/v (1, bk, D), mask (1, bk), o (1, bq, D),
+    lse (1, bq). Scratch: m/l (bq, 128) running max/normalizer, acc (bq, D).
     """
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -48,19 +58,19 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (bq, D)
-    k = k_ref[0]  # (bk, D)
+    q = q_ref[0]
+    k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    mask = mask_ref[0]  # (bk,) True = pad
+    mask = mask_ref[0]
     s = jnp.where(mask[None, :], NEG_INF, s)
 
-    m_prev = m_ref[:, :1]  # (bq, 1)
+    m_prev = m_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # (bq, bk)
+    p = jnp.exp(s - m_new)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -72,10 +82,213 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
 
     @pl.when(kb == nk - 1)
     def _finalize():
-        # guard against fully-masked rows (all keys padded): l == 0
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        # logsumexp per row; fully-masked rows pin to NEG_INF (exp -> 0 in bwd)
+        lse = m_ref[:, 0] + jnp.log(safe_l[:, 0])
+        lse_ref[0] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse)
+
+
+# ===================================================== backward: dq kernel
+def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc):
+    """Grid: (BH, num_q_blocks, num_k_blocks) — k innermost, dq accumulated.
+
+    dS = P * (dO K/V-term - delta);  dQ = dS @ K.
+    """
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = jnp.where(mask_ref[0][None, :], NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk); 0 where masked/neg-inf
+
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    ds = p * (dp - delta_ref[0][:, None])
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+# ==================================================== backward: dk/dv kernel
+def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc):
+    """Grid: (BH, num_k_blocks, num_q_blocks) — q innermost, dk/dv accumulated.
+
+    dV = P^T @ dO;  dK = dS^T @ Q.
+    """
+    qb = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    s = jnp.where(mask_ref[0][None, :], NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0][:, None])
+
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, D)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, None])  # (bq, bk)
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, D)
+
+    @pl.when(qb == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+# ================================================================= plumbing
+def _flatten(x, b, t, h, d):
+    return x.transpose(0, 2, 1, 3).reshape(b * h, t, d).astype(jnp.float32)
+
+
+def _unflatten(x, b, t, h, d, dtype):
+    return x.reshape(b, h, t, d).transpose(0, 2, 1, 3).astype(dtype)
+
+
+def _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret):
+    bh, t, d = qf.shape
+    grid = (bh, t // block_q, t // block_k)
+    out, lse = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda z, i, j: (z, j)),
+            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
+            pl.BlockSpec((1, block_q), lambda z, i, j: (z, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(maskf, qf, kf, vf)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(q, k, v, key_padding_mask, block_q, block_k, interpret):
+    """(B, T, H, D) x3 + (B, T) mask -> (B, T, H, D). Differentiable."""
+    out, _res = _flash_core_fwd(q, k, v, key_padding_mask,
+                                block_q, block_k, interpret)
+    return out
+
+
+def _flash_core_fwd(q, k, v, key_padding_mask, block_q, block_k, interpret):
+    b, t, h, d = q.shape
+    qf = _flatten(q, b, t, h, d)
+    kf = _flatten(k, b, t, h, d)
+    vf = _flatten(v, b, t, h, d)
+    maskf = jnp.broadcast_to(key_padding_mask[:, None, :], (b, h, t)).reshape(b * h, t)
+    of, lse = _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret)
+    out = _unflatten(of, b, t, h, d, q.dtype)
+    return out, (qf, kf, vf, maskf, of, lse)
+
+
+def _flash_core_bwd(block_q, block_k, interpret, res, g):
+    qf, kf, vf, maskf, of, lse = res
+    b, t, h, d = g.shape
+    in_dtype = g.dtype
+    do_f = _flatten(g, b, t, h, d)
+    bh = b * h
+    # delta_i = rowsum(dO_i * O_i)
+    delta = jnp.sum(do_f * of, axis=-1)  # (BH, T)
+
+    dq = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid=(bh, t // block_q, t // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda z, i, j: (z, j)),      # mask
+            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),  # q
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),  # k
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),  # v
+            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),  # dO
+            pl.BlockSpec((1, block_q), lambda z, i, j: (z, i)),        # lse
+            pl.BlockSpec((1, block_q), lambda z, i, j: (z, i)),        # delta
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(maskf, qf, kf, vf, do_f, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid=(bh, t // block_k, t // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda z, i, j: (z, i)),        # mask
+            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, j, 0)),  # q
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),  # k
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),  # v
+            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, j, 0)),  # dO
+            pl.BlockSpec((1, block_q), lambda z, i, j: (z, j)),        # lse
+            pl.BlockSpec((1, block_q), lambda z, i, j: (z, j)),        # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(maskf, qf, kf, vf, do_f, lse, delta)
+
+    dq4 = _unflatten(dq, b, t, h, d, in_dtype)
+    dk4 = _unflatten(dk, b, t, h, d, in_dtype)
+    dv4 = _unflatten(dv, b, t, h, d, in_dtype)
+    return dq4, dk4, dv4, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(
@@ -89,43 +302,20 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention entry point. Falls back to the XLA path off-TPU or for
-    shapes the kernel does not support (tiny T, unaligned head_dim)."""
+    shapes the kernel does not support (tiny or unaligned T)."""
     b, t, h, d = q.shape
     on_tpu = jax.devices()[0].platform == "tpu"
     if (not on_tpu and not interpret) or t < 128:
         return _attention_reference(q, k, v, key_padding_mask)
 
-    block_q = min(block_q, t)
-    block_k = min(block_k, t)
-    if t % block_q or t % block_k:
+    # adapt block sizes to T: the data pipeline quantizes bucket lengths to
+    # multiples of 128 frames (DataConfig.length_quantum), and the TR layer
+    # halves that, so T is a multiple of 64 — pick the largest dividing block.
+    block_q = next((blk for blk in (block_q, 256, 128, 64) if t % blk == 0), 0)
+    block_k = next((blk for blk in (block_k, 256, 128, 64) if t % blk == 0), 0)
+    if not block_q or not block_k:
         return _attention_reference(q, k, v, key_padding_mask)
 
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d).astype(jnp.float32)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d).astype(jnp.float32)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d).astype(jnp.float32)
     if key_padding_mask is None:
-        mask = jnp.zeros((b, t), dtype=bool)
-    else:
-        mask = key_padding_mask
-    maskf = jnp.broadcast_to(mask[:, None, :], (b, h, t)).reshape(b * h, t)
-
-    grid = (b * h, t // block_q, t // block_k)
-    out = pl.pallas_call(
-        _flash_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_k), lambda z, i, j: (z, j)),
-            pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(maskf, qf, kf, vf)
-    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+        key_padding_mask = jnp.zeros((b, t), dtype=bool)
+    return _flash_core(q, k, v, key_padding_mask, block_q, block_k, interpret)
