@@ -256,6 +256,7 @@ class TrainConfig:
     log_every: int = 50
     seed: int = 0
     max_steps: int = 0  # 0 = no cap (useful for smoke runs)
+    profile_steps: int = 0  # trace steps [2, 2+N) into <output_dir>/trace
 
 
 @dataclass(frozen=True)

@@ -269,7 +269,14 @@ class TransformerEncoder(nn.Module):
                 # blocks inside the plain encoder (reference modules/module.py:132-143)
                 from fithubert_tpu.ops.conformer import ConformerEncoderLayer
 
-                layer = ConformerEncoderLayer(
+                layer_cls = ConformerEncoderLayer
+                if cfg.checkpoint_activations:
+                    # rematerialize activations in backward (reference wraps
+                    # layers in fairseq checkpoint_wrapper, modules/module.py:
+                    # 144-145; here jax.checkpoint trades FLOPs for HBM)
+                    # __call__(self, x, mask, pos_emb, deterministic, need_taps)
+                    layer_cls = nn.remat(layer_cls, static_argnums=(4, 5))
+                layer = layer_cls(
                     embed_dim=cfg.encoder_embed_dim,
                     ffn_dim=cfg.encoder_ffn_embed_dim,
                     num_heads=cfg.encoder_attention_heads,
@@ -283,7 +290,11 @@ class TransformerEncoder(nn.Module):
                     x, padding_mask, None, deterministic, need_taps
                 )
             else:
-                layer = TransformerEncoderLayer(
+                layer_cls = TransformerEncoderLayer
+                if cfg.checkpoint_activations:
+                    # __call__(self, x, padding_mask, deterministic, need_taps)
+                    layer_cls = nn.remat(layer_cls, static_argnums=(3, 4))
+                layer = layer_cls(
                     embed_dim=cfg.encoder_embed_dim,
                     ffn_dim=cfg.encoder_ffn_embed_dim,
                     num_heads=cfg.encoder_attention_heads,

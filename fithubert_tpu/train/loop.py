@@ -160,9 +160,15 @@ def run_training(
 
     best_v = float("inf")
     epochs_no_improve = 0
-    t_start = time.time()
     global_step = int(state.step)
     stop = False
+
+    from fithubert_tpu.utils.profiling import StepTimer, trace
+
+    timer = StepTimer(sync_every=cfg.train.log_every)
+    prof_start = global_step + 2  # skip compile steps
+    prof_stop = prof_start + cfg.train.profile_steps
+    profiler_ctx = None
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         rand = (
@@ -176,11 +182,20 @@ def run_training(
                 for k, v in batch.items()
                 if not k.startswith("_")
             }
+            if cfg.train.profile_steps > 0 and global_step == prof_start:
+                profiler_ctx = trace(os.path.join(out_dir, "trace"))
+                profiler_ctx.__enter__()
             state, logs = train_step(state, teacher_params, b, rand, step_rng)
             global_step += 1
+            if profiler_ctx is not None and global_step >= prof_stop:
+                jax.block_until_ready(state.params)
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
+            audio_sec = float(np.sum(~batch["padding_mask"])) / 16000.0
+            rates = timer.tick(sync_target=logs["loss"], audio_sec=audio_sec)
             if cfg.train.monitor_losses and global_step % cfg.train.log_every == 0:
                 logs = jax.device_get(logs)
-                logs["steps_per_sec"] = global_step / max(time.time() - t_start, 1e-6)
+                logs.update(rates)
                 logger.log(global_step, logs)
             if cfg.train.max_steps and global_step >= cfg.train.max_steps:
                 stop = True
@@ -200,6 +215,8 @@ def run_training(
         if stop:
             break
 
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
     ckpt.wait()
     export_student(cfg, state.params, out_dir, tag="student")
     logger.close()

@@ -1,0 +1,70 @@
+"""Tracing / profiling, first-class (SURVEY.md §5.1 — the reference has none).
+
+Two tools:
+  - `trace(...)`: context manager around jax.profiler.trace writing a
+    TensorBoard-loadable trace (xplane) for a window of steps.
+  - `StepTimer`: cheap wall-clock per-step timing with jittered host sync,
+    giving steps/sec and audio-sec/sec without a profiler attached.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, enabled: bool = True):
+    """jax.profiler trace window. View with TensorBoard or xprof."""
+    if not enabled:
+        yield
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a trace (shows up on the TraceMe timeline)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Rolling steps/sec + device-time accounting.
+
+    `tick(audio_sec)` after each step; sync_every controls how often a real
+    device barrier is taken (block_until_ready on a step output) so timing
+    stays honest without serializing every step.
+    """
+
+    def __init__(self, sync_every: int = 20):
+        self.sync_every = max(1, sync_every)
+        self._n = 0
+        self._t0: Optional[float] = None
+        self._audio = 0.0
+        self.steps_per_sec = 0.0
+        self.audio_sec_per_sec = 0.0
+
+    def tick(self, sync_target=None, audio_sec: float = 0.0) -> Dict[str, float]:
+        now = time.perf_counter()
+        if self._t0 is None:
+            self._t0 = now
+        self._n += 1
+        self._audio += audio_sec
+        if self._n % self.sync_every == 0 and sync_target is not None:
+            jax.block_until_ready(sync_target)
+            now = time.perf_counter()
+        dt = max(now - self._t0, 1e-9)
+        self.steps_per_sec = self._n / dt
+        self.audio_sec_per_sec = self._audio / dt
+        return {
+            "steps_per_sec": self.steps_per_sec,
+            "audio_sec_per_sec": self.audio_sec_per_sec,
+        }
