@@ -97,6 +97,62 @@ class RelPositionAttention(nn.Module):
         return out, taps
 
 
+def apply_rotary(x: jnp.ndarray, base: float = 10000.0) -> jnp.ndarray:
+    """Rotary position embedding on (B, T, H, D) with D even (fairseq
+    ESPnetRotaryPositionalEmbedding semantics: rotate half-dims by position)."""
+    b, t, h, d = x.shape
+    half = d // 2
+    freqs = jnp.arange(0, half, dtype=jnp.float32)
+    inv = base ** (-freqs / half)
+    ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv[None, :]  # (T, half)
+    cos = jnp.cos(ang)[None, :, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[None, :, None, :].astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+class RotaryAttention(nn.Module):
+    """MHA with rotary q/k (conformer pos_enc_type='rope',
+    built at reference modules/module.py:404-409 via fairseq)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic=True,
+                 need_taps=False):
+        b, t, c = x.shape
+        h = self.num_heads
+        dk = self.embed_dim // h
+        dtype = self.dtype or x.dtype
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=dtype,
+                                      param_dtype=jnp.float32, name=name)
+        q = apply_rotary(dense("q_proj")(x).reshape(b, t, h, dk))
+        k = apply_rotary(dense("k_proj")(x).reshape(b, t, h, dk))
+        v = dense("v_proj")(x).reshape(b, t, h, dk)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) / math.sqrt(dk)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(b, t, c)
+        out = dense("out_proj")(out)
+        if need_taps:
+            v32 = v.transpose(0, 2, 1, 3).reshape(b * h, t, dk).astype(jnp.float32)
+            v_rel = jnp.einsum("zqd,zkd->zqk", v32 / math.sqrt(dk), v32)
+            taps = AttentionTaps(logits.reshape(b * h, t, t), v_rel)
+        else:
+            taps = AttentionTaps(None, None)
+        return out, taps
+
+
 class FeedForwardModule(nn.Module):
     embed_dim: int
     ffn_dim: int
@@ -171,6 +227,11 @@ class ConformerEncoderLayer(nn.Module):
                 self.embed_dim, self.num_heads, self.dropout, self.dtype,
                 name="self_attn",
             )(x, pos_emb, padding_mask, deterministic, need_taps)
+        elif self.pos_enc_type == "rope":
+            x, taps = RotaryAttention(
+                self.embed_dim, self.num_heads, self.dropout, self.dtype,
+                name="self_attn",
+            )(x, padding_mask, deterministic, need_taps)
         else:
             from fithubert_tpu.ops.attention import MultiHeadSelfAttention
 
