@@ -408,6 +408,15 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> ExperimentConfig:
     )
 
 
+def timestamp_tag() -> str:
+    """Asia/Seoul-timezone run tag (reference utils/utils.py:182-184 uses
+    pytz Asia/Seoul; a fixed UTC+9 offset is equivalent — no DST)."""
+    from datetime import datetime, timedelta, timezone
+
+    seoul = timezone(timedelta(hours=9))
+    return datetime.now(seoul).strftime("%Y-%m-%d-%H%M%S")
+
+
 def dump_yaml_config(cfg: ExperimentConfig, path: str) -> Dict[str, Any]:
     """Reflect the resolved config back to a reference-compatible YAML file.
 

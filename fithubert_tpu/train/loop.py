@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from fithubert_tpu.config import ExperimentConfig, dump_yaml_config
+from fithubert_tpu.config import ExperimentConfig, dump_yaml_config, timestamp_tag
 from fithubert_tpu.data import make_dataset
 from fithubert_tpu.models import TeacherGeometry
 from fithubert_tpu.parallel import make_mesh
@@ -51,26 +51,39 @@ def run_training(
     resume: bool = True,
     test_only: bool = False,
 ) -> Dict[str, float]:
+    from fithubert_tpu.parallel.distributed import maybe_initialize
+
+    host_id, num_hosts = maybe_initialize()
     out_dir = cfg.train.output_dir
     os.makedirs(out_dir, exist_ok=True)
-    dump_yaml_config(cfg, os.path.join(out_dir, "config.yaml"))
+    if host_id == 0:
+        # model-config half of the checkpoint contract (reference
+        # utils/utils.py:153-184 writes a Seoul-timestamped yaml)
+        dump_yaml_config(cfg, os.path.join(out_dir, "config.yaml"))
+        dump_yaml_config(cfg, os.path.join(out_dir, timestamp_tag() + ".yaml"))
     logger = MetricsLogger(out_dir)
 
     mesh = make_mesh(cfg.train.num_devices)
     n_data = mesh.shape["data"]
     batch_sh = NamedSharding(mesh, P(None, "data"))  # (A, B, T): shard B
 
+    # each host feeds its local shard of the global batch; bucket lists are
+    # strided per host (SURVEY.md §5.8)
+    local_batch = cfg.train.batch_size * n_data
     train_data = make_dataset(
-        cfg.data, cfg.data.train_set, cfg.train.batch_size * n_data,
+        cfg.data, cfg.data.train_set, local_batch,
         accum=cfg.train.accumulate_grad_batches, shuffle=True, seed=cfg.train.seed,
+        host_id=host_id, num_hosts=num_hosts,
     )
     eval_data = make_dataset(
-        cfg.data, cfg.data.dev_set, cfg.train.batch_size * n_data,
+        cfg.data, cfg.data.dev_set, local_batch,
         accum=1, shuffle=False, seed=cfg.train.seed,
+        host_id=host_id, num_hosts=num_hosts,
     )
     test_data = make_dataset(
-        cfg.data, cfg.data.test_set, cfg.train.batch_size * n_data,
+        cfg.data, cfg.data.test_set, local_batch,
         accum=1, shuffle=False, seed=cfg.train.seed,
+        host_id=host_id, num_hosts=num_hosts,
     )
 
     num_training_steps = max(1, cfg.train.num_epochs * len(train_data))
@@ -202,7 +215,8 @@ def run_training(
                 break
 
         v_loss = run_eval(eval_data, epoch, "val")
-        ckpt.save(global_step, jax.device_get(state), v_loss)
+        if host_id == 0:  # params are replicated; one host persists
+            ckpt.save(global_step, jax.device_get(state), v_loss)
         if v_loss < best_v:
             best_v = v_loss
             epochs_no_improve = 0
@@ -218,6 +232,7 @@ def run_training(
     if profiler_ctx is not None:
         profiler_ctx.__exit__(None, None, None)
     ckpt.wait()
-    export_student(cfg, state.params, out_dir, tag="student")
+    if host_id == 0:
+        export_student(cfg, state.params, out_dir, tag="student")
     logger.close()
     return {"best_v_loss": best_v, "steps": global_step}
