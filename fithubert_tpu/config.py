@@ -153,6 +153,7 @@ class StudentConfig:
 
     # TPU-native extras (not in reference)
     use_pallas_attention: bool = True  # flash-attention kernel when no taps needed
+    use_pallas_conv: bool = True  # fused conv front-end stack (blocks 1..N)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
 
     @property

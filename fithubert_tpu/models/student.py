@@ -66,6 +66,7 @@ class StudentModel(nn.Module):
                 conv_layers=cfg.conv_feature_layers,
                 mode=cfg.extractor_mode,
                 conv_bias=cfg.conv_bias,
+                use_fused=cfg.use_pallas_conv,
                 dtype=dtype,
                 name="feature_extractor",
             )(source.astype(dtype), deterministic=deterministic)

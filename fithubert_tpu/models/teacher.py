@@ -61,6 +61,7 @@ class TeacherGeometry:
     conv_pos_groups: int = 16
     vocab_size: int = 0  # >0 for wav2vec_ctc
     use_pallas_attention: bool = True
+    use_pallas_conv: bool = True
     compute_dtype: str = "float32"
 
     @classmethod
@@ -102,6 +103,7 @@ class TeacherGeometry:
             pred_layer_id=(),
             required_seq_len_multiple=1,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_conv=self.use_pallas_conv,
             compute_dtype=self.compute_dtype,
         )
 
@@ -132,6 +134,7 @@ class TeacherModel(nn.Module):
             conv_layers=g.conv_feature_layers,
             mode=g.extractor_mode,
             conv_bias=g.conv_bias,
+            use_fused=g.use_pallas_conv,
             dtype=dtype,
             name="feature_extractor",
         )(source.astype(dtype))

@@ -50,7 +50,7 @@ class Conv1D(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -58,6 +58,16 @@ class Conv1D(nn.Module):
             (self.kernel_size, in_ch // self.groups, self.features),
             jnp.float32,
         )
+        if return_kernel:
+            # fused-stack path: the caller consumes the raw kernel (and bias)
+            # so a multi-layer pallas kernel can run the conv itself while
+            # the param tree stays byte-identical to the unfused path
+            bias = (
+                self.param("bias", self.bias_init, (self.features,), jnp.float32)
+                if self.use_bias
+                else None
+            )
+            return kernel, bias
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -132,14 +142,16 @@ class ConvFeatureExtractor(nn.Module):
     mode: str = "default"
     conv_bias: bool = False
     dropout: float = 0.0
+    use_fused: bool = True  # fused pallas stack for blocks 1..N (TPU)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         assert self.mode in ("default", "layer_norm")
         x = x[..., None]  # (B, T, 1)
-        for i, (dim, k, stride) in enumerate(self.conv_layers):
-            x = Conv1D(
+
+        convs = [
+            Conv1D(
                 features=dim,
                 kernel_size=k,
                 stride=stride,
@@ -147,13 +159,47 @@ class ConvFeatureExtractor(nn.Module):
                 kernel_init=kaiming_normal,
                 dtype=self.dtype,
                 name=f"conv_{i}",
-            )(x)
+            )
+            for i, (dim, k, stride) in enumerate(self.conv_layers)
+        ]
+
+        rest_spec = tuple(self.conv_layers[1:])
+        fused_ok = False
+        if self.use_fused and self.mode == "default" and not self.conv_bias \
+                and self.dropout == 0.0 and len(rest_spec) > 0:
+            from fithubert_tpu.ops.pallas.conv_frontend import fusable
+
+            fused_ok = fusable(rest_spec)
+
+        # block 0 (+ the global-reduction GroupNorm) always via XLA
+        dim0 = self.conv_layers[0][0]
+        x = convs[0](x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.mode == "layer_norm":
+            x = FP32LayerNorm(name="layer_norm_0")(x)
+        elif self.mode == "default":
+            x = FP32GroupNorm(num_groups=dim0, name="group_norm")(x)
+        x = jax.nn.gelu(x, approximate=False)
+
+        if fused_ok:
+            from fithubert_tpu.ops.pallas.conv_frontend import conv_stack
+
+            kernels = []
+            c_in = x.shape[-1]
+            for conv, (dim, _k, _s) in zip(convs[1:], rest_spec):
+                kern, _bias = conv(jnp.zeros((1, 1, c_in), x.dtype),
+                                   return_kernel=True)
+                kernels.append(kern)
+                c_in = dim
+            return conv_stack(x, kernels, rest_spec)
+
+        for i, (dim, k, stride) in enumerate(self.conv_layers[1:], start=1):
+            x = convs[i](x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             if self.mode == "layer_norm":
                 x = FP32LayerNorm(name=f"layer_norm_{i}")(x)
-            elif self.mode == "default" and i == 0:
-                x = FP32GroupNorm(num_groups=dim, name="group_norm")(x)
             x = jax.nn.gelu(x, approximate=False)
         return x
 

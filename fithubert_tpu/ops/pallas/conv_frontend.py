@@ -1,0 +1,187 @@
+"""Fused waveform-front-end conv stack as one Pallas kernel.
+
+The reference's ConvFeatureExtractionModel (reference modules/module.py:24-102)
+runs each strided Conv1d as a separate op: every intermediate activation makes
+an HBM round trip. Block 0 (wide kernel + fp32 GroupNorm over the WHOLE time
+axis — a global reduction) stays in XLA; all remaining blocks are local
+(kernel k <= 2*stride for every standard fairseq/FitHuBERT spec), so this
+kernel computes the entire post-block-0 stack for a tile of output frames in
+VMEM: the block-0 features are read from HBM ONCE and only the final features
+are written back.
+
+Strided conv as MXU matmuls, no gathers: for a layer (k, s) with k <= 2s the
+input span for F output frames is reshaped to (F+1, s, C) so tap j is
+  j <  s : r[:, j][:F]
+  j >= s : r[:, j - s][1 : F + 1]
+and the layer is sum_j tap_j @ W_j — k matmuls of (F, C_in) x (C_in, C_out).
+
+Backward = jax.vjp of the XLA reference implementation (custom_vjp): the
+pallas kernel accelerates the forward; the backward recomputes with XLA convs
+whose autodiff is exact, trading a little recompute for zero custom bwd code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Spec = Tuple[Tuple[int, int, int], ...]  # (dim, kernel, stride) per layer
+
+
+def fusable(spec: Spec) -> bool:
+    """The reshape trick needs k <= 2s (holds for all fairseq-style specs)."""
+    return len(spec) > 0 and all(k <= 2 * s for (_d, k, s) in spec)
+
+
+def _out_len(t: int, spec: Spec) -> int:
+    for (_d, k, s) in spec:
+        t = (t - k) // s + 1
+    return t
+
+
+def _span_for(f: int, spec: Spec) -> int:
+    """Input frames needed for f output frames of the whole stack."""
+    span = f
+    for (_d, k, s) in reversed(spec):
+        span = (span - 1) * s + k
+    return span
+
+
+def _stride_prod(spec: Spec) -> int:
+    p = 1
+    for (_d, _k, s) in spec:
+        p *= s
+    return p
+
+
+def _layer_apply(x, kernel, k: int, s: int, f_out: int):
+    """x (span, C_in) -> (f_out, C_out); kernel (k, C_in, C_out)."""
+    c_in = x.shape[-1]
+    need = f_out * s + s  # (f_out + 1) * s frames for the reshape trick
+    if x.shape[0] < need:
+        x = jnp.pad(x, ((0, need - x.shape[0]), (0, 0)))
+    r = x[: (f_out + 1) * s].reshape(f_out + 1, s, c_in)
+    out = None
+    for j in range(k):
+        tap = r[:f_out, j] if j < s else r[1 : f_out + 1, j - s]
+        contrib = jax.lax.dot_general(
+            tap, kernel[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
+    n_layers = len(spec)
+
+    def kernel(x_hbm, *args):
+        # args = (*weight_refs, out_ref, x_vmem, sem)
+        weight_refs = args[:n_layers]
+        out_ref = args[n_layers]
+        x_vmem = args[n_layers + 1]
+        sem = args[n_layers + 2]
+
+        t = pl.program_id(1)
+        prod = _stride_prod(spec)
+        start = t * f_tile * prod
+        dma = pltpu.make_async_copy(
+            x_hbm.at[0, pl.ds(start, span), :], x_vmem, sem
+        )
+        dma.start()
+        dma.wait()
+
+        x = x_vmem[:].astype(jnp.float32)
+        for i, (_d, k, s) in enumerate(spec):
+            # each layer emits exactly the frames the remaining stack needs:
+            # span_for(f_tile, spec[i:]) frames in -> span_for(f_tile,
+            # spec[i+1:]) frames out; the final layer lands on f_tile.
+            f_next = _span_for(f_tile, spec[i + 1:])
+            x = _layer_apply(x, weight_refs[i][:], k, s, f_next)
+            x = jax.nn.gelu(x, approximate=False)
+        out_ref[0] = x.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec):
+    """XLA oracle: plain strided convs + exact GELU (used off-TPU and for the
+    backward pass). x: (B, T, C) channels-last; weights[i]: (k, C_in, C_out)."""
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NHC", "HIO", "NHC"))
+    for (w, (_d, k, s)) in zip(weights, spec):
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(s,), padding=[(0, 0)],
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
+def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
+    b, t0, c0 = x.shape
+    t_out = _out_len(t0, spec)
+    n_tiles = pl.cdiv(t_out, f_tile)
+    span = _span_for(f_tile, spec)
+    prod = _stride_prod(spec)
+    # pad input so every tile's DMA window exists
+    t_need = (n_tiles - 1) * f_tile * prod + span
+    if t_need > t0:
+        x = jnp.pad(x, ((0, 0), (0, t_need - t0), (0, 0)))
+
+    c_out = spec[-1][0]
+    out = pl.pallas_call(
+        _make_kernel(spec, f_tile, span, c0),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, x.shape[1], c0), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.ANY),
+            *[
+                pl.BlockSpec(w.shape, lambda i, t: (0,) * w.ndim,
+                             memory_space=pltpu.VMEM)
+                for w in weights
+            ],
+        ],
+        out_specs=pl.BlockSpec((1, f_tile, c_out), lambda i, t: (i, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * f_tile, c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((span, c0), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, *weights)
+    return out[:, :t_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_conv_stack(x, weights, spec: Spec, f_tile: int = 128,
+                     interpret: bool = False):
+    """(B, T, C_in) -> (B, T_out, C_out) through the conv+GELU stack."""
+    return _pallas_stack(x, list(weights), spec, f_tile, interpret)
+
+
+def _fused_fwd(x, weights, spec, f_tile, interpret):
+    return _pallas_stack(x, list(weights), spec, f_tile, interpret), (x, tuple(weights))
+
+
+def _fused_bwd(spec, f_tile, interpret, res, g):
+    x, weights = res
+    _, vjp = jax.vjp(lambda x_, ws: _reference_stack(x_, ws, spec), x, weights)
+    dx, dws = vjp(g.astype(x.dtype))
+    return dx, dws
+
+
+fused_conv_stack.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv_stack(x, weights, spec: Spec, interpret: bool = False):
+    """Dispatch: pallas on TPU (or interpret), XLA oracle elsewhere / for
+    non-fusable specs."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (on_tpu or interpret) and fusable(spec):
+        return fused_conv_stack(x, tuple(weights), spec, 128, interpret)
+    return _reference_stack(x, list(weights), spec)

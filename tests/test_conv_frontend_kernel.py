@@ -1,0 +1,98 @@
+"""Fused conv front-end Pallas kernel vs the XLA oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fithubert_tpu.ops.pallas.conv_frontend import (
+    _out_len,
+    _reference_stack,
+    _span_for,
+    fusable,
+    fused_conv_stack,
+)
+
+# the FitHuBERT student spec after block 0 (reference
+# data/conf/fithubert.yaml conv_feature_layers, blocks 1..8)
+STUDENT_SPEC = ((256, 1, 1), (256, 3, 2), (256, 3, 2), (256, 3, 2),
+                (256, 3, 2), (512, 1, 1), (512, 2, 2), (512, 2, 2))
+# fairseq teacher spec after block 0
+TEACHER_SPEC = ((512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+                (512, 2, 2), (512, 2, 2))
+TINY_SPEC = ((32, 3, 2), (48, 2, 2), (48, 1, 1))
+
+
+def _weights(spec, c_in, seed=0):
+    rng = np.random.default_rng(seed)
+    ws = []
+    for (d, k, _s) in spec:
+        ws.append(jnp.asarray(rng.standard_normal((k, c_in, d)) * 0.1, jnp.float32))
+        c_in = d
+    return tuple(ws)
+
+
+def test_fusable():
+    assert fusable(STUDENT_SPEC)
+    assert fusable(TEACHER_SPEC)
+    assert not fusable(((64, 5, 2),))  # k > 2s
+
+
+def test_span_math():
+    t = 1000
+    assert _out_len(_span_for(7, TINY_SPEC), TINY_SPEC) == 7
+
+
+@pytest.mark.parametrize("spec,c_in,t0", [
+    (TINY_SPEC, 16, 700),
+    (TINY_SPEC, 16, 517),   # non-multiple tail
+    (TEACHER_SPEC[:3], 24, 900),
+])
+def test_fused_matches_oracle(spec, c_in, t0):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, t0, c_in)) * 0.5, jnp.float32)
+    ws = _weights(spec, c_in)
+    want = _reference_stack(x, list(ws), spec)
+    got = fused_conv_stack(x, ws, spec, 16, True)  # f_tile 16, interpret
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_backward_matches_oracle():
+    spec, c_in, t0 = TINY_SPEC, 16, 600
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, t0, c_in)) * 0.5, jnp.float32)
+    ws = _weights(spec, c_in)
+
+    def loss_fused(x, ws):
+        return jnp.sum(fused_conv_stack(x, ws, spec, 16, True) ** 2)
+
+    def loss_ref(x, ws):
+        return jnp.sum(_reference_stack(x, list(ws), spec) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, ws)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, ws)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=3e-4, rtol=1e-4)
+    for a, b in zip(gw_f, gw_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+
+
+def test_extractor_param_tree_identical_fused_vs_not():
+    from fithubert_tpu.ops.conv import ConvFeatureExtractor
+
+    spec = ((16, 10, 5), (32, 3, 2), (32, 2, 2))
+    wav = jnp.zeros((1, 2000))
+    pa = ConvFeatureExtractor(conv_layers=spec, use_fused=True).init(
+        jax.random.PRNGKey(0), wav)
+    pb = ConvFeatureExtractor(conv_layers=spec, use_fused=False).init(
+        jax.random.PRNGKey(0), wav)
+    sa = jax.tree.map(lambda x: tuple(x.shape), pa)
+    sb = jax.tree.map(lambda x: tuple(x.shape), pb)
+    assert sa == sb
+    # off-TPU both dispatch to XLA: outputs must be bit-identical
+    oa = ConvFeatureExtractor(conv_layers=spec, use_fused=True).apply(pa, wav)
+    ob = ConvFeatureExtractor(conv_layers=spec, use_fused=False).apply(pb, wav)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
