@@ -52,11 +52,33 @@ def _span_for(f: int, spec: Spec) -> int:
     return span
 
 
+def _aligned_span(f: int, spec: Spec) -> int:
+    """DMA window: span rounded up to the sublane tiling (32 covers every
+    dtype; the surplus frames are fetched but never used)."""
+    return ((_span_for(f, spec) + 31) // 32) * 32
+
+
 def _stride_prod(spec: Spec) -> int:
     p = 1
     for (_d, _k, s) in spec:
         p *= s
     return p
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7): Pallas TPU
+    has no erf/erfc primitive, so exact GELU is built from exp only."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU, matching jax.nn.gelu(approximate=False) to ~1e-7."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _layer_apply(x, kernel, k: int, s: int, f_out: int):
@@ -87,11 +109,12 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
         x_vmem = args[n_layers + 1]
         sem = args[n_layers + 2]
 
+        b = pl.program_id(0)
         t = pl.program_id(1)
         prod = _stride_prod(spec)
         start = t * f_tile * prod
         dma = pltpu.make_async_copy(
-            x_hbm.at[0, pl.ds(start, span), :], x_vmem, sem
+            x_hbm.at[b, pl.ds(start, span), :], x_vmem, sem
         )
         dma.start()
         dma.wait()
@@ -103,7 +126,7 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
             # spec[i+1:]) frames out; the final layer lands on f_tile.
             f_next = _span_for(f_tile, spec[i + 1:])
             x = _layer_apply(x, weight_refs[i][:], k, s, f_next)
-            x = jax.nn.gelu(x, approximate=False)
+            x = _gelu_exact(x)
         out_ref[0] = x.astype(out_ref.dtype)
 
     return kernel
@@ -126,7 +149,7 @@ def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
     b, t0, c0 = x.shape
     t_out = _out_len(t0, spec)
     n_tiles = pl.cdiv(t_out, f_tile)
-    span = _span_for(f_tile, spec)
+    span = _aligned_span(f_tile, spec)
     prod = _stride_prod(spec)
     # pad input so every tile's DMA window exists
     t_need = (n_tiles - 1) * f_tile * prod + span
@@ -138,8 +161,9 @@ def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
         _make_kernel(spec, f_tile, span, c0),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, x.shape[1], c0), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.ANY),
+            # ANY-space arrays must be whole with a trivial index map (TPU
+            # lowering rule); the kernel DMAs its own (batch, span) window
+            pl.BlockSpec(memory_space=pltpu.ANY),
             *[
                 pl.BlockSpec(w.shape, lambda i, t: (0,) * w.ndim,
                              memory_space=pltpu.VMEM)
@@ -183,5 +207,5 @@ def conv_stack(x, weights, spec: Spec, interpret: bool = False):
     non-fusable specs."""
     on_tpu = jax.devices()[0].platform == "tpu"
     if (on_tpu or interpret) and fusable(spec):
-        return fused_conv_stack(x, tuple(weights), spec, 128, interpret)
+        return fused_conv_stack(x, tuple(weights), spec, 32, interpret)
     return _reference_stack(x, list(weights), spec)

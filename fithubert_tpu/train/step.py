@@ -58,6 +58,13 @@ class Distiller:
         geom = teacher_geometry or TeacherGeometry.from_teacher_config(cfg.teacher)
         if cfg.train.use_fp16:
             geom = dataclasses.replace(geom, compute_dtype="bfloat16")
+        # teacher follows the student's pallas toggles (so e.g. the CPU-mesh
+        # multichip dryrun can disable kernels everywhere in one place)
+        geom = dataclasses.replace(
+            geom,
+            use_pallas_attention=cfg.distiller.use_pallas_attention,
+            use_pallas_conv=cfg.distiller.use_pallas_conv,
+        )
         self.teacher_geometry = geom
         self.teacher = TeacherModel(geometry=geom)
         self.student = StudentModel(
