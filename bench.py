@@ -48,7 +48,14 @@ def main():
     wav = jnp.asarray(rng.standard_normal((b, t_wav)), jnp.float32)
     mask = jnp.zeros((b, t_wav), dtype=bool)
 
-    params = model.init(jax.random.PRNGKey(0), wav, mask)["params"]
+    # abstract init + zero params: throughput doesn't depend on weight values,
+    # and this avoids a minutes-long on-device init compile at batch shape
+    small_wav = jnp.zeros((1, 16 * 320), jnp.float32)
+    small_mask = jnp.zeros((1, 16 * 320), bool)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), small_wav, small_mask
+    )["params"]
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     @jax.jit
     def fwd(params, wav, mask):
