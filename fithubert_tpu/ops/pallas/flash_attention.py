@@ -63,7 +63,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    mask = mask_ref[0]
+    mask = mask_ref[0, 0, :]
     s = jnp.where(mask[None, :], NEG_INF, s)
 
     m_prev = m_ref[:, :1]
@@ -77,8 +77,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    m_ref[:, 0:1] = m_new
+    l_ref[:, 0:1] = l_new
 
     @pl.when(kb == nk - 1)
     def _finalize():
@@ -86,8 +86,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
         # logsumexp per row; fully-masked rows pin to NEG_INF (exp -> 0 in bwd)
-        lse = m_ref[:, 0] + jnp.log(safe_l[:, 0])
-        lse_ref[0] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse)
+        lse = m_ref[:, :1] + jnp.log(safe_l)
+        lse_ref[0, 0, :] = jnp.where(l == 0.0, NEG_INF, lse)[:, 0]
 
 
 # ===================================================== backward: dq kernel
@@ -109,14 +109,14 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = jnp.where(mask_ref[0][None, :], NEG_INF, s)
-    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk); 0 where masked/neg-inf
+    s = jnp.where(mask_ref[0, 0, :][None, :], NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0, 0, :][:, None])  # (bq, bk); 0 where masked
 
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, 0, :][:, None])
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -147,8 +147,8 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    s = jnp.where(mask_ref[0][None, :], NEG_INF, s)
-    p = jnp.exp(s - lse_ref[0][:, None])
+    s = jnp.where(mask_ref[0, 0, :][None, :], NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0, 0, :][:, None])
 
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -158,7 +158,7 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, None])  # (bq, bk)
+    ds = p * (dp - delta_ref[0, 0, :][:, None])  # (bq, bk)
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -172,7 +172,9 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 # ================================================================= plumbing
 def _flatten(x, b, t, h, d):
-    return x.transpose(0, 2, 1, 3).reshape(b * h, t, d).astype(jnp.float32)
+    # keep the input dtype (bf16 stays bf16 on the MXU; accumulation is fp32
+    # via preferred_element_type inside the kernels)
+    return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
 
 
 def _unflatten(x, b, t, h, d, dtype):
@@ -186,18 +188,18 @@ def _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret):
         _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda z, i, j: (z, j)),
+            pl.BlockSpec((1, 1, block_k), lambda z, i, j: (z, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
-            pl.BlockSpec((1, block_q), lambda z, i, j: (z, i)),
+            pl.BlockSpec((1, 1, block_q), lambda z, i, j: (z, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -222,7 +224,9 @@ def _flash_core_fwd(q, k, v, key_padding_mask, block_q, block_k, interpret):
     qf = _flatten(q, b, t, h, d)
     kf = _flatten(k, b, t, h, d)
     vf = _flatten(v, b, t, h, d)
-    maskf = jnp.broadcast_to(key_padding_mask[:, None, :], (b, h, t)).reshape(b * h, t)
+    maskf = jnp.broadcast_to(
+        key_padding_mask[:, None, :], (b, h, t)
+    ).reshape(b * h, 1, t)
     of, lse = _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret)
     out = _unflatten(of, b, t, h, d, q.dtype)
     return out, (qf, kf, vf, maskf, of, lse)
@@ -235,19 +239,19 @@ def _flash_core_bwd(block_q, block_k, interpret, res, g):
     do_f = _flatten(g, b, t, h, d)
     bh = b * h
     # delta_i = rowsum(dO_i * O_i)
-    delta = jnp.sum(do_f * of, axis=-1)  # (BH, T)
+    delta = jnp.sum(do_f * of, axis=-1)[:, None, :]  # (BH, 1, T)
 
     dq = pl.pallas_call(
         _bwd_dq_kernel,
         grid=(bh, t // block_q, t // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda z, i, j: (z, j)),      # mask
+            pl.BlockSpec((1, 1, block_k), lambda z, i, j: (z, 0, j)),  # mask
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),  # q
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),  # k
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),  # v
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),  # dO
-            pl.BlockSpec((1, block_q), lambda z, i, j: (z, i)),        # lse
-            pl.BlockSpec((1, block_q), lambda z, i, j: (z, i)),        # delta
+            pl.BlockSpec((1, 1, block_q), lambda z, i, j: (z, 0, i)),  # lse
+            pl.BlockSpec((1, 1, block_q), lambda z, i, j: (z, 0, i)),  # delta
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
@@ -259,13 +263,13 @@ def _flash_core_bwd(block_q, block_k, interpret, res, g):
         _bwd_dkv_kernel,
         grid=(bh, t // block_k, t // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda z, i, j: (z, i)),        # mask
+            pl.BlockSpec((1, 1, block_k), lambda z, i, j: (z, 0, i)),  # mask
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, j, 0)),  # q
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),  # k
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),  # v
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, j, 0)),  # dO
-            pl.BlockSpec((1, block_q), lambda z, i, j: (z, j)),        # lse
-            pl.BlockSpec((1, block_q), lambda z, i, j: (z, j)),        # delta
+            pl.BlockSpec((1, 1, block_q), lambda z, i, j: (z, 0, j)),  # lse
+            pl.BlockSpec((1, 1, block_q), lambda z, i, j: (z, 0, j)),  # delta
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),
@@ -297,8 +301,8 @@ def flash_attention(
     v: jnp.ndarray,
     key_padding_mask: Optional[jnp.ndarray] = None,
     *,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention entry point. Falls back to the XLA path off-TPU or for
@@ -307,12 +311,20 @@ def flash_attention(
     on_tpu = jax.devices()[0].platform == "tpu"
     if (not on_tpu and not interpret) or t < 128:
         return _attention_reference(q, k, v, key_padding_mask)
+    # Dispatch threshold (measured on v5e): XLA's fused attention is
+    # bandwidth-floor-fast up to a few thousand frames (4.9 ms at T=2048,
+    # B=8, H=12 — the T x T logits easily fit HBM at FitHuBERT scale, max
+    # ~1756 frames on LibriSpeech). The flash kernel is the long-context
+    # path where the logits tensor stops fitting; below the threshold XLA
+    # wins on wall clock, so use it.
+    if not interpret and t < 4096:
+        return _attention_reference(q, k, v, key_padding_mask)
 
     # adapt block sizes to T: the data pipeline quantizes bucket lengths to
     # multiples of 128 frames (DataConfig.length_quantum), and the TR layer
     # halves that, so T is a multiple of 64 — pick the largest dividing block.
-    block_q = next((blk for blk in (block_q, 256, 128, 64) if t % blk == 0), 0)
-    block_k = next((blk for blk in (block_k, 256, 128, 64) if t % blk == 0), 0)
+    block_q = next((blk for blk in (block_q, 512, 256, 128, 64) if t % blk == 0), 0)
+    block_k = next((blk for blk in (block_k, 512, 256, 128, 64) if t % blk == 0), 0)
     if not block_q or not block_k:
         return _attention_reference(q, k, v, key_padding_mask)
 
