@@ -76,7 +76,6 @@ class Conv1D(nn.Module):
             padding=[self.padding],
             dimension_numbers=_conv_dn(),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
@@ -122,7 +121,6 @@ class ConvTranspose1D(nn.Module):
             padding=[(self.kernel_size - 1, self.kernel_size - 1)],
             lhs_dilation=(self.stride,),
             dimension_numbers=_conv_dn(),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", shifted_uniform, (self.features,), jnp.float32)
@@ -245,7 +243,6 @@ class PositionalConv(nn.Module):
             padding=[(pad, pad)],
             dimension_numbers=_conv_dn(),
             feature_group_count=g,
-            preferred_element_type=jnp.float32,
         ).astype(dtype)
         y = y + bias.astype(dtype)
         if k % 2 == 0:  # SamePad: drop trailing step for even kernels

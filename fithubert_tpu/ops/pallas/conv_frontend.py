@@ -139,8 +139,8 @@ def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec)
     for (w, (_d, k, s)) in zip(weights, spec):
         x = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(s,), padding=[(0, 0)],
-            dimension_numbers=dn, preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+            dimension_numbers=dn,
+        )
         x = jax.nn.gelu(x, approximate=False)
     return x
 
