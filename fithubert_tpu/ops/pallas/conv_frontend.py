@@ -202,10 +202,47 @@ def _fused_bwd(spec, f_tile, interpret, res, g):
 fused_conv_stack.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _weight_bytes(c0: int, spec: Spec, itemsize: int) -> int:
+    total, c_in = 0, c0
+    for (d, k, _s) in spec:
+        total += k * c_in * d * itemsize
+        c_in = d
+    return total
+
+
+def _vmem_estimate(f_tile: int, c0: int, spec: Spec, itemsize: int) -> int:
+    """Rough per-program VMEM bytes: resident weights + the two largest live
+    fp32 intermediates per layer plus the DMA'd input window."""
+    peak = _aligned_span(f_tile, spec) * c0 * 4
+    c_in = c0
+    for i, (d, _k, _s) in enumerate(spec):
+        span_in = _span_for(f_tile, spec[i:])
+        span_out = _span_for(f_tile, spec[i + 1:])
+        live = (span_in * c_in + 2 * span_out * d) * 4
+        peak = max(peak, live)
+        c_in = d
+    return peak + _weight_bytes(c0, spec, itemsize)
+
+
+def pick_f_tile(c0: int, spec: Spec, itemsize: int = 2,
+                budget: int = 12 << 20) -> int:
+    for f in (64, 32, 16, 8):
+        if _vmem_estimate(f, c0, spec, itemsize) <= budget:
+            return f
+    return 0  # does not fit: caller falls back to XLA
+
+
 def conv_stack(x, weights, spec: Spec, interpret: bool = False):
     """Dispatch: pallas on TPU (or interpret), XLA oracle elsewhere / for
-    non-fusable specs."""
+    non-fusable specs or stacks whose weights would blow VMEM."""
     on_tpu = jax.devices()[0].platform == "tpu"
     if (on_tpu or interpret) and fusable(spec):
-        return fused_conv_stack(x, tuple(weights), spec, 32, interpret)
+        # weights ride along in the compute dtype (the MXU accumulates in
+        # fp32 regardless; fp32 weights for a 512-wide stack alone would
+        # exceed the 16M scoped-VMEM limit)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        f_tile = pick_f_tile(x.shape[-1], spec, itemsize)
+        if f_tile:
+            ws = tuple(w.astype(x.dtype) for w in weights)
+            return fused_conv_stack(x, ws, spec, f_tile, interpret)
     return _reference_stack(x, list(weights), spec)
