@@ -48,6 +48,18 @@ class StudentModel(nn.Module):
     specaug: Optional[SpecAugConfig] = None
     disable_projections: bool = False  # export mode (reference model.py:393-399)
 
+    def extract_features(
+        self,
+        source: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        layer: Optional[int] = None,
+    ) -> StudentOutput:
+        """Reference CustomStudentModel.extract_features (modules/model.py:
+        554-558): a deterministic forward, optionally truncated after encoder
+        layer `layer` (0-indexed). Use via
+        `model.apply(vars, wav, mask, layer, method='extract_features')`."""
+        return self(source, padding_mask, deterministic=True, layer=layer)
+
     @nn.compact
     def __call__(
         self,
@@ -55,6 +67,7 @@ class StudentModel(nn.Module):
         padding_mask: Optional[jnp.ndarray] = None,  # (B, T_wav) True = pad
         deterministic: bool = True,
         need_taps: bool = False,
+        layer: Optional[int] = None,  # stop after encoder layer `layer`
     ) -> StudentOutput:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -131,10 +144,23 @@ class StudentModel(nn.Module):
         encoder_cls = TransformerEncoder
         if cfg.layer_type == "conformer" and cfg.pos_enc_type in ("rel_pos", "rope"):
             encoder_cls = ConformerEncoder
+        enc_kwargs = {}
+        if layer is not None and encoder_cls is TransformerEncoder:
+            enc_kwargs["num_layers"] = layer + 1
         enc = encoder_cls(cfg=cfg, dtype=dtype, name="encoder")(
-            features, padding_mask, deterministic=deterministic, need_taps=need_taps
+            features, padding_mask, deterministic=deterministic,
+            need_taps=need_taps, **enc_kwargs,
         )
         x = enc.x
+
+        if layer is not None and layer + 1 < cfg.encoder_layers:
+            # truncated run: return the raw hidden at `layer` (reference
+            # early-exit path); heads are not applied
+            return StudentOutput(
+                x=x, padding_mask=enc.padding_mask, features=features_to_distill,
+                layer_results=enc.layer_results,
+                tr_layer_results=enc.tr_layer_results, projections=None,
+            )
 
         # ---- heads ----------------------------------------------------------
         if cfg.layerwise_proj:

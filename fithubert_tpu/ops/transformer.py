@@ -206,6 +206,8 @@ class TransformerEncoder(nn.Module):
         padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         need_taps: bool = False,
+        num_layers: Optional[int] = None,  # truncate after N transformer layers
+        # (reference tgt_layer early-exit, modules/module.py:330-337)
     ) -> EncoderOutput:
         cfg = self.cfg
 
@@ -317,6 +319,8 @@ class TransformerEncoder(nn.Module):
             x = y
             layer_results.append((x, taps, layer_result))
             layer_idx += 1
+            if num_layers is not None and layer_idx >= num_layers:
+                break
 
         # undo pad_to_multiple (reference modules/module.py:346-356). After a
         # TR layer the tail pad has been folded into reduced frames; the

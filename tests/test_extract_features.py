@@ -1,0 +1,63 @@
+"""extract_features / layer-truncated forward (reference modules/model.py:
+554-558, modules/module.py:330-337) and the bucket-CSV generation tool."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_model_families import BASE, MASK, WAV
+from fithubert_tpu.models import StudentModel
+
+
+def test_layer_truncation_matches_full_prefix():
+    model = StudentModel(cfg=BASE)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, WAV, MASK)
+    full, _ = model.apply(variables, WAV, MASK, mutable=["batch_stats"])
+    trunc, _ = model.apply(variables, WAV, MASK, layer=0, mutable=["batch_stats"])
+    assert len(trunc.layer_results) == 1
+    # layer 0 hidden must equal the full run's layer 0 hidden
+    np.testing.assert_allclose(
+        np.asarray(trunc.x), np.asarray(full.layer_results[0][0]), atol=1e-6
+    )
+    assert trunc.projections is None
+
+
+def test_extract_features_method():
+    model = StudentModel(cfg=BASE)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, WAV, MASK)
+    out, _ = model.apply(
+        variables, WAV, MASK, 1, method="extract_features",
+        mutable=["batch_stats"],
+    )
+    assert len(out.layer_results) == 2
+
+
+def test_make_bucket_csvs(tmp_path):
+    from tests.flac_writer import write_flac
+
+    root = tmp_path / "libri"
+    chap = root / "dev-tiny" / "9" / "9"
+    chap.mkdir(parents=True)
+    lengths = [3000, 4100]
+    for i, n in enumerate(lengths):
+        sig = np.round(1000 * np.sin(np.arange(n) * 0.01)).astype(np.int64)
+        write_flac(str(chap / f"9-9-{i:04d}.flac"), [sig], kind="verbatim")
+
+    out = tmp_path / "buckets"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "scripts/make_bucket_csvs.py",
+         "--libri-root", str(root), "--out", str(out),
+         "--splits", "dev-tiny"],
+        check=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    with open(out / "dev-tiny.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert sorted(int(r["length"]) for r in rows) == sorted(lengths)
+    assert all(r["file_path"].startswith("dev-tiny/") for r in rows)
