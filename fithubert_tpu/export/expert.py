@@ -20,9 +20,7 @@ repeated calls hit the XLA compile cache; one jitted apply serves all buckets.
 
 from __future__ import annotations
 
-import functools
-import os
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 

@@ -14,7 +14,6 @@ has those properties by construction.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fithubert_tpu.config import SpecAugConfig, StudentConfig
-from fithubert_tpu.ops.attention import AttentionTaps
 from fithubert_tpu.ops.conv import ConvFeatureExtractor, ConvTranspose1D, grad_multiply
 from fithubert_tpu.ops.heads import LayerWiseProjHead, MelSpecHead, SplitLinear
 from fithubert_tpu.ops.mel import mel_spectrogram

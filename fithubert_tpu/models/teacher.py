@@ -17,10 +17,9 @@ the jitted train step under stop_gradient — no optimizer state, no hooks.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -13,7 +13,7 @@ tile conv-as-matmul onto the MXU without transposes. Parity targets:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ whose autodiff is exact, trading a little recompute for zero custom bwd code.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ code here, per the scaling-book recipe: pick a mesh, annotate, let XLA work).
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -8,8 +8,7 @@ from __future__ import annotations
 
 import os
 import random
-import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -18,10 +17,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fithubert_tpu.config import ExperimentConfig, dump_yaml_config, timestamp_tag
 from fithubert_tpu.data import make_dataset
-from fithubert_tpu.models import TeacherGeometry
 from fithubert_tpu.parallel import make_mesh
 from fithubert_tpu.train.checkpoint import CheckpointManager, export_student
-from fithubert_tpu.train.step import Distiller, TrainState
+from fithubert_tpu.train.step import Distiller
 from fithubert_tpu.utils.logging import MetricsLogger
 
 

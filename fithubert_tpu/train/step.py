@@ -15,18 +15,16 @@ microbatches.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from fithubert_tpu.config import ExperimentConfig
 from fithubert_tpu.models import StudentModel, TeacherGeometry, TeacherModel
-from fithubert_tpu.parallel import batch_sharding, make_mesh, param_sharding, replicated
+from fithubert_tpu.parallel import make_mesh, param_sharding, replicated
 from fithubert_tpu.train.losses import compute_losses
 from fithubert_tpu.train.optim import build_optimizer
 

@@ -7,7 +7,7 @@ import json
 import os
 import sys
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class MetricsLogger:
