@@ -33,6 +33,9 @@ def test_adamw_step_moves_params():
     params = {"w": jnp.ones((4,))}
     state = tx.init(params)
     grads = {"w": jnp.ones((4,))}
-    updates, state = tx.update(grads, state, params)
-    new_params = optax.apply_updates(params, updates)
-    assert not np.allclose(np.asarray(new_params["w"]), 1.0)
+    # step 0 is inside the (minimum 1-step) warmup ramp, so lr(0) == 0;
+    # the second step runs at full lr and must move the params
+    for _ in range(2):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert not np.allclose(np.asarray(params["w"]), 1.0)
