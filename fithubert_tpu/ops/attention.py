@@ -81,9 +81,18 @@ class MultiHeadSelfAttention(nn.Module):
             out = flash_attention(q, k, v, key_padding_mask)  # (B, T, H, hd), q pre-scaled
             taps = AttentionTaps(None, None)
         else:
+            # In bf16 compute mode (and when the fp32 logit taps are not
+            # needed) keep the materialized T x T logits in bf16: it halves
+            # the HBM traffic of the attention fusions — the dominant cost at
+            # FitHuBERT shapes — and is range-safe (bf16 shares fp32's
+            # exponent). The reference under AMP computes these in fp16
+            # anyway; fp32 logits are kept for fp32 mode and for the taps.
+            logits_dtype = (
+                jnp.float32 if (need_taps or dtype == jnp.float32) else dtype
+            )
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ).astype(jnp.float32)
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=logits_dtype
+            ).astype(logits_dtype)
             if key_padding_mask is not None:
                 neg_inf = jnp.asarray(-jnp.inf, dtype=logits.dtype)
                 logits = jnp.where(key_padding_mask[:, None, None, :], neg_inf, logits)

@@ -32,10 +32,14 @@ NEG_INF = -1e30
 
 
 def _attention_reference(q, k, v, key_padding_mask):
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    # bf16 inputs keep bf16 logits: halves the HBM traffic of the dominant
+    # T x T materialization and is range-safe (bf16 shares fp32's exponent);
+    # fp32 inputs keep the fp32 softmax for reference parity.
+    ldtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=ldtype)
     if key_padding_mask is not None:
         logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum(
         "bhqk,bkhd->bqhd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
     ).astype(q.dtype)
