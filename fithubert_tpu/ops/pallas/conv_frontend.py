@@ -119,6 +119,8 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
         dma.start()
         dma.wait()
 
+        # fp32 intermediates: measured faster than bf16 on the VPU (gelu/
+        # reshape elementwise work), and the dots accumulate fp32 anyway
         x = x_vmem[:].astype(jnp.float32)
         for i, (_d, k, s) in enumerate(spec):
             # each layer emits exactly the frames the remaining stack needs:
@@ -211,8 +213,9 @@ def _weight_bytes(c0: int, spec: Spec, itemsize: int) -> int:
 
 
 def _vmem_estimate(f_tile: int, c0: int, spec: Spec, itemsize: int) -> int:
-    """Rough per-program VMEM bytes: resident weights + the two largest live
-    fp32 intermediates per layer plus the DMA'd input window."""
+    """Rough per-program VMEM bytes: resident weights + the largest live
+    intermediates per layer (compute-dtype storage, fp32 dot outputs) plus
+    the DMA'd input window."""
     peak = _aligned_span(f_tile, spec) * c0 * 4
     c_in = c0
     for i, (d, _k, _s) in enumerate(spec):
@@ -226,7 +229,9 @@ def _vmem_estimate(f_tile: int, c0: int, spec: Spec, itemsize: int) -> int:
 
 def pick_f_tile(c0: int, spec: Spec, itemsize: int = 2,
                 budget: int = 12 << 20) -> int:
-    for f in (64, 32, 16, 8):
+    # 32 measured fastest in-graph on v5e (64 fits VMEM for the student spec
+    # but loses pipelining overlap; 16 adds per-program overhead)
+    for f in (32, 16, 8):
         if _vmem_estimate(f, c0, spec, itemsize) <= budget:
             return f
     return 0  # does not fit: caller falls back to XLA
