@@ -241,7 +241,10 @@ def conv_stack(x, weights, spec: Spec, interpret: bool = False):
     """Dispatch: pallas on TPU (or interpret), XLA oracle elsewhere / for
     non-fusable specs or stacks whose weights would blow VMEM."""
     on_tpu = jax.devices()[0].platform == "tpu"
-    if (on_tpu or interpret) and fusable(spec):
+    # the per-tile DMA slices the channel (lane) dim whole: it must be
+    # 128-lane aligned (true for the standard 128/256/512-wide specs)
+    lane_ok = x.shape[-1] % 128 == 0
+    if (on_tpu or interpret) and fusable(spec) and (lane_ok or interpret):
         # weights ride along in the compute dtype (the MXU accumulates in
         # fp32 regardless; fp32 weights for a 512-wide stack alone would
         # exceed the 16M scoped-VMEM limit)
