@@ -103,7 +103,7 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
     n_layers = len(spec)
 
     def kernel(x_hbm, *args):
-        # args = (*weight_refs, out_ref, x_vmem, sem)
+        # args = (*weight_refs, out_ref, x_vmem (2-slot), sem (2))
         weight_refs = args[:n_layers]
         out_ref = args[n_layers]
         x_vmem = args[n_layers + 1]
@@ -111,17 +111,33 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
 
         b = pl.program_id(0)
         t = pl.program_id(1)
+        nt = pl.num_programs(1)
         prod = _stride_prod(spec)
-        start = t * f_tile * prod
-        dma = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(start, span), :], x_vmem, sem
-        )
-        dma.start()
-        dma.wait()
+
+        def dma(tile, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(tile * f_tile * prod, span), :],
+                x_vmem.at[slot],
+                sem.at[slot],
+            )
+
+        # double buffering: wait on this tile's window, prefetch the next
+        # one into the other slot while the conv stack computes
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _first():
+            dma(t, slot).start()
+
+        dma(t, slot).wait()
+
+        @pl.when(t + 1 < nt)
+        def _prefetch():
+            dma(t + 1, jax.lax.rem(t + 1, 2)).start()
 
         # fp32 intermediates: measured faster than bf16 on the VPU (gelu/
         # reshape elementwise work), and the dots accumulate fp32 anyway
-        x = x_vmem[:].astype(jnp.float32)
+        x = x_vmem[slot].astype(jnp.float32)
         for i, (_d, k, s) in enumerate(spec):
             # each layer emits exactly the frames the remaining stack needs:
             # span_for(f_tile, spec[i:]) frames in -> span_for(f_tile,
@@ -175,8 +191,8 @@ def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
         out_specs=pl.BlockSpec((1, f_tile, c_out), lambda i, t: (i, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * f_tile, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((span, c0), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, span, c0), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x, *weights)
