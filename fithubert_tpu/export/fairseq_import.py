@@ -157,6 +157,47 @@ def _conv_spec_from_cfg_or_weights(
     return tuple(layers)
 
 
+def save_converted_teacher(geom: TeacherGeometry, variables: Dict[str, Any],
+                           prefix: str) -> Tuple[str, str]:
+    """Persist a converted teacher as (geometry json, params msgpack) so
+    training hosts need neither torch nor the original fairseq checkpoint."""
+    import dataclasses
+    import json
+
+    from flax import serialization
+
+    json_path, msgpack_path = prefix + ".json", prefix + ".msgpack"
+    with open(json_path, "w") as f:
+        json.dump(dataclasses.asdict(geom), f, indent=1)
+    with open(msgpack_path, "wb") as f:
+        f.write(serialization.to_bytes(variables["params"]))
+    return json_path, msgpack_path
+
+
+def load_converted_teacher(path: str) -> Tuple[TeacherGeometry, Dict[str, Any]]:
+    """Load a teacher saved by save_converted_teacher (either file works)."""
+    import json
+
+    from flax import serialization
+
+    prefix = path[: -len(".msgpack")] if path.endswith(".msgpack") else (
+        path[: -len(".json")] if path.endswith(".json") else path)
+    with open(prefix + ".json") as f:
+        d = json.load(f)
+    d["conv_feature_layers"] = tuple(tuple(t) for t in d["conv_feature_layers"])
+    geom = TeacherGeometry(**d)
+    with open(prefix + ".msgpack", "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    return geom, {"params": params}
+
+
+def load_teacher_any(path: str) -> Tuple[TeacherGeometry, Dict[str, Any]]:
+    """Dispatch on file type: fairseq .pt or a converted (.json, .msgpack) pair."""
+    if path.endswith((".msgpack", ".json")):
+        return load_converted_teacher(path)
+    return load_fairseq_teacher(path)
+
+
 def load_fairseq_teacher(path: str) -> Tuple[TeacherGeometry, Dict[str, Any]]:
     """Read a fairseq checkpoint -> (TeacherGeometry, {'params': pytree}).
 

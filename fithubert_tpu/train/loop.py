@@ -35,9 +35,9 @@ def load_teacher(cfg: ExperimentConfig, distiller: Distiller, rng, sample_wav):
     """Load converted fairseq weights if present; else random teacher (smoke)."""
     path = cfg.teacher.teacher_model
     if path and os.path.exists(path):
-        from fithubert_tpu.export.fairseq_import import load_fairseq_teacher
+        from fithubert_tpu.export.fairseq_import import load_teacher_any
 
-        geom, params = load_fairseq_teacher(path)
+        geom, params = load_teacher_any(path)
         return geom, params
     print(f"[teacher] checkpoint '{path}' not found — using randomly "
           f"initialized {cfg.teacher.model_type} teacher (smoke mode)")

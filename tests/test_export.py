@@ -254,3 +254,23 @@ def test_expert_from_our_export_pair(tmp_path):
     expert = UpstreamExpert(weights_path, yaml_path, length_quantum=2000)
     out = expert([np.zeros(3000, np.float32)])
     assert out["last_hidden_state"].shape[0] == 1
+
+
+def test_converted_teacher_roundtrip(tmp_path):
+    from fithubert_tpu.export.fairseq_import import (
+        load_fairseq_teacher,
+        load_teacher_any,
+        save_converted_teacher,
+    )
+
+    sd = make_fairseq_state_dict()
+    src = str(tmp_path / "t.pt")
+    torch.save({"model": sd, "cfg": None}, src)
+    geom, variables = load_fairseq_teacher(src)
+
+    prefix = str(tmp_path / "converted")
+    save_converted_teacher(geom, variables, prefix)
+    geom2, variables2 = load_teacher_any(prefix + ".msgpack")
+    assert geom2 == geom
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(variables["params"], variables2["params"])

@@ -1,0 +1,52 @@
+"""Training-loop behaviors: checkpoint resume continues from the restored
+step (reference ckpt_path resume, train.py:506-509) and the export pair is
+written at the end of training."""
+
+import dataclasses
+import os
+
+import pytest
+
+from fithubert_tpu.config import load_yaml_config
+
+
+def _smoke_cfg(out_dir, max_steps, num_epochs=8):
+    cfg = load_yaml_config("configs/smoke.yaml")
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, synthetic_num_batches=4,
+                                 synthetic_wav_length=4000, length_quantum=2000),
+        train=dataclasses.replace(
+            cfg.train, output_dir=str(out_dir), max_steps=max_steps,
+            num_epochs=num_epochs, batch_size=2, accumulate_grad_batches=1,
+            log_every=100,
+        ),
+    )
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    from fithubert_tpu.train.loop import run_training
+
+    out = tmp_path / "run"
+    r1 = run_training(_smoke_cfg(out, max_steps=4), resume=False)
+    assert r1["steps"] == 4
+
+    # second invocation resumes from the saved step and continues
+    r2 = run_training(_smoke_cfg(out, max_steps=8), resume=True)
+    assert r2["steps"] == 8
+
+    # export pair written
+    assert os.path.exists(out / "student.yaml")
+    assert os.path.exists(out / "student.msgpack")
+    # timestamped config dump exists alongside config.yaml
+    yamls = [f for f in os.listdir(out) if f.endswith(".yaml")]
+    assert len(yamls) >= 3  # config.yaml + <timestamp>.yaml + student.yaml
+
+
+def test_test_only_mode(tmp_path):
+    from fithubert_tpu.train.loop import run_training
+
+    out = tmp_path / "run_t"
+    r = run_training(_smoke_cfg(out, max_steps=2, num_epochs=1), resume=False,
+                     test_only=True)
+    assert "test_loss" in r
