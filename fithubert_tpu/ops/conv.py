@@ -69,14 +69,27 @@ class Conv1D(nn.Module):
             )
             return kernel, bias
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(self.stride,),
-            padding=[self.padding],
-            dimension_numbers=_conv_dn(),
-            feature_group_count=self.groups,
-        )
+        if (self.kernel_size == self.stride and self.groups == 1
+                and self.padding == (0, 0)):
+            # non-overlapping taps (e.g. the TR conv1d, k == s): fold the
+            # window into the contraction — one MXU matmul instead of XLA's
+            # strided-conv lowering
+            b, t, _c = x.shape
+            t_out = t // self.stride
+            r = x[:, : t_out * self.stride].reshape(b, t_out, self.stride, in_ch)
+            y = jnp.einsum(
+                "btsc,sco->bto", r.astype(dtype), kernel.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(self.stride,),
+                padding=[self.padding],
+                dimension_numbers=_conv_dn(),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias
@@ -110,18 +123,29 @@ class ConvTranspose1D(nn.Module):
             "kernel", shifted_uniform, (self.kernel_size, self.features, in_ch), jnp.float32
         )
         dtype = self.dtype or x.dtype
-        # conv_transpose == conv with lhs dilation `stride`, full padding,
-        # spatially-flipped kernel, and in/out channels swapped.
-        flipped = jnp.flip(kernel, axis=0)  # (K, C_out, C_in)
-        rhs = jnp.transpose(flipped, (0, 2, 1))  # (K, C_in, C_out) for HIO
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            rhs.astype(dtype),
-            window_strides=(1,),
-            padding=[(self.kernel_size - 1, self.kernel_size - 1)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=_conv_dn(),
-        )
+        if self.kernel_size == self.stride:
+            # non-overlapping taps (the TR-upsampler case, k == s == factor):
+            # out[t*s + j] = x[t] @ W_j — one MXU matmul + interleave, ~10x
+            # faster on TPU than XLA's lhs-dilated conv lowering (measured
+            # 3.3 TF/s for the dilated form at FitHuBERT shapes)
+            b, t, _c = x.shape
+            y = jnp.einsum(
+                "btc,koc->btko", x.astype(dtype), kernel.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, t * self.kernel_size, self.features)
+        else:
+            # conv_transpose == conv with lhs dilation `stride`, full padding,
+            # spatially-flipped kernel, and in/out channels swapped.
+            flipped = jnp.flip(kernel, axis=0)  # (K, C_out, C_in)
+            rhs = jnp.transpose(flipped, (0, 2, 1))  # (K, C_in, C_out) for HIO
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                rhs.astype(dtype),
+                window_strides=(1,),
+                padding=[(self.kernel_size - 1, self.kernel_size - 1)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=_conv_dn(),
+            )
         if self.use_bias:
             bias = self.param("bias", shifted_uniform, (self.features,), jnp.float32)
             y = y + bias
