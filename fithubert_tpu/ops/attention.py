@@ -70,15 +70,27 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(b, t, h, head_dim)
         v = v.reshape(b, t, h, head_dim)
 
+        # pallas handles training-time prob-dropout in-kernel (PRNG seeded per
+        # block), so the gate only excludes the taps path; below the kernel's
+        # T threshold flash_attention dispatches to XLA internally anyway
         use_pallas = (
             self.use_pallas
             and not need_taps
-            and (self.dropout == 0.0 or deterministic)
+            and (self.dropout == 0.0 or deterministic or t >= 4096)
         )
         if use_pallas:
             from fithubert_tpu.ops.pallas.flash_attention import flash_attention
 
-            out = flash_attention(q, k, v, key_padding_mask)  # (B, T, H, hd), q pre-scaled
+            dropout_p = 0.0 if deterministic else self.dropout
+            seed = None
+            if dropout_p > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            out = flash_attention(
+                q, k, v, key_padding_mask,
+                dropout_p=dropout_p, dropout_seed=seed,
+            )  # (B, T, H, hd), q pre-scaled
             taps = AttentionTaps(None, None)
         else:
             # In bf16 compute mode (and when the fp32 logit taps are not

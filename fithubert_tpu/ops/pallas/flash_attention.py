@@ -45,8 +45,20 @@ def _attention_reference(q, k, v, key_padding_mask):
     ).astype(q.dtype)
 
 
+def _keep_mask(seed_ref, z, qb, kb, nq, nk, shape, dropout_p: float):
+    """Deterministic per-(z, q-block, k-block) Bernoulli keep mask. The same
+    (z, qb, kb) triple regenerates the same mask in forward and backward
+    kernels regardless of their grid orders (24-bit threshold compare)."""
+    pltpu.prng_seed(seed_ref[0] + (z * nq + qb) * nk + kb)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits24 = jax.lax.shift_right_logical(bits, jnp.uint32(8)).astype(jnp.int32)
+    thr = min(int(dropout_p * (1 << 24)), (1 << 24) - 1)
+    return bits24 >= thr
+
+
 # =========================================================== forward kernel
-def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _make_fwd_kernel(dropout_p: float):
+  def _fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_ref, l_ref, acc_ref):
     """Grid: (BH, num_q_blocks, num_k_blocks) — k innermost.
 
@@ -77,8 +89,16 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     p = jnp.exp(s - m_new)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
+    # dropout on the (unnormalized) probs: the normalizer l keeps the
+    # UNDROPPED sum — softmax-then-dropout semantics, like torch
+    pv = p
+    if dropout_p > 0.0:
+        keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1), kb,
+                          pl.num_programs(1), nk, p.shape, dropout_p)
+        pv = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_p))
+
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        pv.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:, 0:1] = m_new
@@ -92,11 +112,13 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         # logsumexp per row; fully-masked rows pin to NEG_INF (exp -> 0 in bwd)
         lse = m_ref[:, :1] + jnp.log(safe_l)
         lse_ref[0, 0, :] = jnp.where(l == 0.0, NEG_INF, lse)[:, 0]
+  return _fwd_kernel
 
 
 # ===================================================== backward: dq kernel
-def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc):
+def _make_bwd_dq_kernel(dropout_p: float):
+  def _bwd_dq_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dq_acc):
     """Grid: (BH, num_q_blocks, num_k_blocks) — k innermost, dq accumulated.
 
     dS = P * (dO K/V-term - delta);  dQ = dS @ K.
@@ -120,6 +142,10 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
+    if dropout_p > 0.0:
+        keep = _keep_mask(seed_ref, pl.program_id(0), pl.program_id(1), kb,
+                          pl.num_programs(1), nk, dp.shape, dropout_p)
+        dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_p))
     ds = p * (dp - delta_ref[0, 0, :][:, None])
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -129,11 +155,13 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     @pl.when(kb == nk - 1)
     def _finalize():
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+  return _bwd_dq_kernel
 
 
 # ==================================================== backward: dk/dv kernel
-def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc):
+def _make_bwd_dkv_kernel(dropout_p: float):
+  def _bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, dk_acc, dv_acc):
     """Grid: (BH, num_k_blocks, num_q_blocks) — q innermost, dk/dv accumulated.
 
     dV = P^T @ dO;  dK = dS^T @ Q.
@@ -154,14 +182,25 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jnp.where(mask_ref[0, 0, :][None, :], NEG_INF, s)
     p = jnp.exp(s - lse_ref[0, 0, :][:, None])
 
-    dv_acc[:] += jax.lax.dot_general(
-        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bk, D)
+    pv = p
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_p > 0.0:
+        # note (z, qb, kb) ordering matches the fwd/dq kernels even though
+        # this kernel's grid iterates (z, kb, qb)
+        kb_here = pl.program_id(1)
+        keep = _keep_mask(seed_ref, pl.program_id(0), qb, kb_here,
+                          pl.num_programs(2), pl.num_programs(1),
+                          p.shape, dropout_p)
+        inv = 1.0 / (1.0 - dropout_p)
+        pv = jnp.where(keep, p, 0.0) * inv
+        dp = jnp.where(keep, dp, 0.0) * inv
+    dv_acc[:] += jax.lax.dot_general(
+        pv.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, D)
     ds = p * (dp - delta_ref[0, 0, :][:, None])  # (bq, bk)
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -172,6 +211,7 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _finalize():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+  return _bwd_dkv_kernel
 
 
 # ================================================================= plumbing
@@ -185,13 +225,14 @@ def _unflatten(x, b, t, h, d, dtype):
     return x.reshape(b, h, t, d).transpose(0, 2, 1, 3).astype(dtype)
 
 
-def _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret):
+def _fwd_pallas(qf, kf, vf, maskf, seed, dropout_p, block_q, block_k, interpret):
     bh, t, d = qf.shape
     grid = (bh, t // block_q, t // block_k)
     out, lse = pl.pallas_call(
-        _fwd_kernel,
+        _make_fwd_kernel(dropout_p),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_k), lambda z, i, j: (z, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),
@@ -211,19 +252,21 @@ def _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret):
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(maskf, qf, kf, vf)
+    )(seed, maskf, qf, kf, vf)
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_core(q, k, v, key_padding_mask, block_q, block_k, interpret):
-    """(B, T, H, D) x3 + (B, T) mask -> (B, T, H, D). Differentiable."""
-    out, _res = _flash_core_fwd(q, k, v, key_padding_mask,
-                                block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_core(q, k, v, key_padding_mask, seed,
+                dropout_p, block_q, block_k, interpret):
+    """(B, T, H, D) x3 + (B, T) mask + (1,) seed -> (B, T, H, D)."""
+    out, _res = _flash_core_fwd(q, k, v, key_padding_mask, seed,
+                                dropout_p, block_q, block_k, interpret)
     return out
 
 
-def _flash_core_fwd(q, k, v, key_padding_mask, block_q, block_k, interpret):
+def _flash_core_fwd(q, k, v, key_padding_mask, seed,
+                    dropout_p, block_q, block_k, interpret):
     b, t, h, d = q.shape
     qf = _flatten(q, b, t, h, d)
     kf = _flatten(k, b, t, h, d)
@@ -231,13 +274,14 @@ def _flash_core_fwd(q, k, v, key_padding_mask, block_q, block_k, interpret):
     maskf = jnp.broadcast_to(
         key_padding_mask[:, None, :], (b, h, t)
     ).reshape(b * h, 1, t)
-    of, lse = _fwd_pallas(qf, kf, vf, maskf, block_q, block_k, interpret)
+    of, lse = _fwd_pallas(qf, kf, vf, maskf, seed, dropout_p,
+                          block_q, block_k, interpret)
     out = _unflatten(of, b, t, h, d, q.dtype)
-    return out, (qf, kf, vf, maskf, of, lse)
+    return out, (qf, kf, vf, maskf, of, lse, seed)
 
 
-def _flash_core_bwd(block_q, block_k, interpret, res, g):
-    qf, kf, vf, maskf, of, lse = res
+def _flash_core_bwd(dropout_p, block_q, block_k, interpret, res, g):
+    qf, kf, vf, maskf, of, lse, seed = res
     b, t, h, d = g.shape
     in_dtype = g.dtype
     do_f = _flatten(g, b, t, h, d)
@@ -246,9 +290,10 @@ def _flash_core_bwd(block_q, block_k, interpret, res, g):
     delta = jnp.sum(do_f * of, axis=-1)[:, None, :]  # (BH, 1, T)
 
     dq = pl.pallas_call(
-        _bwd_dq_kernel,
+        _make_bwd_dq_kernel(dropout_p),
         grid=(bh, t // block_q, t // block_k),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # seed
             pl.BlockSpec((1, 1, block_k), lambda z, i, j: (z, 0, j)),  # mask
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, i, 0)),  # q
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, j, 0)),  # k
@@ -261,12 +306,13 @@ def _flash_core_bwd(block_q, block_k, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
-    )(maskf, qf, kf, vf, do_f, lse, delta)
+    )(seed, maskf, qf, kf, vf, do_f, lse, delta)
 
     dk, dv = pl.pallas_call(
-        _bwd_dkv_kernel,
+        _make_bwd_dkv_kernel(dropout_p),
         grid=(bh, t // block_k, t // block_q),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # seed
             pl.BlockSpec((1, 1, block_k), lambda z, i, j: (z, 0, i)),  # mask
             pl.BlockSpec((1, block_q, d), lambda z, i, j: (z, j, 0)),  # q
             pl.BlockSpec((1, block_k, d), lambda z, i, j: (z, i, 0)),  # k
@@ -288,12 +334,12 @@ def _flash_core_bwd(block_q, block_k, interpret, res, g):
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         interpret=interpret,
-    )(maskf, qf, kf, vf, do_f, lse, delta)
+    )(seed, maskf, qf, kf, vf, do_f, lse, delta)
 
     dq4 = _unflatten(dq, b, t, h, d, in_dtype)
     dk4 = _unflatten(dk, b, t, h, d, in_dtype)
     dv4 = _unflatten(dv, b, t, h, d, in_dtype)
-    return dq4, dk4, dv4, None
+    return dq4, dk4, dv4, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -305,16 +351,25 @@ def flash_attention(
     v: jnp.ndarray,
     key_padding_mask: Optional[jnp.ndarray] = None,
     *,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,  # (1,) int32
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention entry point. Falls back to the XLA path off-TPU or for
     shapes the kernel does not support (tiny or unaligned T)."""
+    def _fallback():
+        out = _attention_reference(q, k, v, key_padding_mask)
+        return out
+
     b, t, h, d = q.shape
+    if dropout_p > 0.0:
+        assert dropout_seed is not None, "dropout needs a dropout_seed"
     on_tpu = jax.devices()[0].platform == "tpu"
     if (not on_tpu and not interpret) or t < 128:
-        return _attention_reference(q, k, v, key_padding_mask)
+        return _xla_with_dropout(q, k, v, key_padding_mask,
+                                 dropout_p, dropout_seed)
     # Dispatch threshold (measured on v5e): XLA's fused attention is
     # bandwidth-floor-fast up to a few thousand frames (4.9 ms at T=2048,
     # B=8, H=12 — the T x T logits easily fit HBM at FitHuBERT scale, max
@@ -322,7 +377,8 @@ def flash_attention(
     # path where the logits tensor stops fitting; below the threshold XLA
     # wins on wall clock, so use it.
     if not interpret and t < 4096:
-        return _attention_reference(q, k, v, key_padding_mask)
+        return _xla_with_dropout(q, k, v, key_padding_mask,
+                                 dropout_p, dropout_seed)
 
     # adapt block sizes to T: the data pipeline quantizes bucket lengths to
     # multiples of 128 frames (DataConfig.length_quantum), and the TR layer
@@ -330,8 +386,33 @@ def flash_attention(
     block_q = next((blk for blk in (block_q, 512, 256, 128, 64) if t % blk == 0), 0)
     block_k = next((blk for blk in (block_k, 512, 256, 128, 64) if t % blk == 0), 0)
     if not block_q or not block_k:
-        return _attention_reference(q, k, v, key_padding_mask)
+        return _xla_with_dropout(q, k, v, key_padding_mask,
+                                 dropout_p, dropout_seed)
 
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, t), dtype=bool)
-    return _flash_core(q, k, v, key_padding_mask, block_q, block_k, interpret)
+    seed = (dropout_seed if dropout_seed is not None
+            else jnp.zeros((1,), jnp.int32)).astype(jnp.int32).reshape(1)
+    return _flash_core(q, k, v, key_padding_mask, seed,
+                       float(dropout_p), block_q, block_k, interpret)
+
+
+def _xla_with_dropout(q, k, v, key_padding_mask, dropout_p, dropout_seed):
+    """XLA fallback with softmax-prob dropout (matching kernel semantics up
+    to the RNG stream)."""
+    if dropout_p <= 0.0:
+        return _attention_reference(q, k, v, key_padding_mask)
+    b, t, h, d = q.shape
+    ldtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=ldtype)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    key = jax.random.PRNGKey(0) if dropout_seed is None else (
+        jax.random.PRNGKey(0).at[1].set(dropout_seed.reshape(())))
+    keep = jax.random.bernoulli(key, 1.0 - dropout_p, probs.shape)
+    probs = jnp.where(keep, probs, 0.0) / (1.0 - dropout_p)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
