@@ -377,6 +377,14 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> ExperimentConfig:
         train_d["output_dir"] = "results/pretrain/" + str(train_d["output_dir"])
     train = TrainConfig(**train_d)
     loss = LossConfig(**loss_d)
+    if loss.distil_random_layer > 0 and not raw.get("distiller", {}).get(
+        "layerwise_proj", False
+    ):
+        raise ValueError(
+            "distil_random_layer > 0 requires layerwise_proj: true — random-"
+            "layer distillation gathers per-layer projection heads (the "
+            "reference's SplitLinear path cannot serve arbitrary layers)"
+        )
 
     distiller = StudentConfig.from_dict(raw.get("distiller", {}))
     # wire driver-injected fields like the reference does (train.py:42-43)
