@@ -408,8 +408,9 @@ def _xla_with_dropout(q, k, v, key_padding_mask, dropout_p, dropout_seed):
     if key_padding_mask is not None:
         logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
     probs = jax.nn.softmax(logits, axis=-1)
-    key = jax.random.PRNGKey(0) if dropout_seed is None else (
-        jax.random.PRNGKey(0).at[1].set(dropout_seed.reshape(())))
+    key = jax.random.PRNGKey(0)
+    if dropout_seed is not None:
+        key = jax.random.fold_in(key, dropout_seed.reshape(()))
     keep = jax.random.bernoulli(key, 1.0 - dropout_p, probs.shape)
     probs = jnp.where(keep, probs, 0.0) / (1.0 - dropout_p)
     return jnp.einsum(
