@@ -1,0 +1,46 @@
+"""Integration: the shipped FitHuBERT-960h release config constructs the full
+Distiller and runs one fused train step on the (CPU-simulated) 2-device
+data-parallel mesh — the exact yaml a user trains with."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fithubert_tpu.config import load_yaml_config
+from fithubert_tpu.parallel import make_mesh
+from fithubert_tpu.train.step import Distiller
+
+
+@pytest.mark.slow
+def test_fithubert_yaml_one_step():
+    cfg = load_yaml_config("configs/fithubert.yaml")
+    assert cfg.distiller.encoder_embed_dim == 480
+    assert cfg.distiller.encoder_layers == 12
+    assert cfg.loss.distil_random_layer == 11
+
+    mesh = make_mesh(2)  # 'gpus: 2' in the config -> 2-way data parallel
+    distiller = Distiller(cfg, mesh=mesh, num_training_steps=10)
+
+    accum, b, t_wav = cfg.train.accumulate_grad_batches, 2, 8000
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((accum, b, t_wav)), jnp.float32)
+    mask = jnp.zeros((accum, b, t_wav), bool)
+
+    key = jax.random.PRNGKey(0)
+    teacher_params = distiller.shard_teacher(
+        distiller.init_teacher_params(key, wav[0])
+    )
+    state = distiller.shard_state(
+        distiller.init_state(jax.random.fold_in(key, 1), wav[0])
+    )
+    step = distiller.make_train_step()
+    rand = jnp.arange(cfg.loss.distil_random_layer, dtype=jnp.int32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data"))
+    batch = {"x": jax.device_put(wav, sh), "padding_mask": jax.device_put(mask, sh)}
+    state, logs = step(state, teacher_params, batch, rand, key)
+    assert np.isfinite(float(logs["loss"]))
+    # reference logging keys: rand_l{i} for each sampled layer + l11
+    assert "l11" in logs and "rand_l0" in logs and "rand_l10" in logs
