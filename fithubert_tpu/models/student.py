@@ -55,7 +55,8 @@ class StudentModel(nn.Module):
     ) -> StudentOutput:
         """Reference CustomStudentModel.extract_features (modules/model.py:
         554-558): a deterministic forward, optionally truncated after encoder
-        layer `layer` (0-indexed). Use via
+        layer-list slot `layer` — the index COUNTS the TR module, exactly like
+        the reference's tgt_layer over its torch ModuleList. Use via
         `model.apply(vars, wav, mask, layer, method='extract_features')`."""
         return self(source, padding_mask, deterministic=True, layer=layer)
 
@@ -145,14 +146,15 @@ class StudentModel(nn.Module):
             encoder_cls = ConformerEncoder
         enc_kwargs = {}
         if layer is not None and encoder_cls is TransformerEncoder:
-            enc_kwargs["num_layers"] = layer + 1
+            enc_kwargs["tgt_slot"] = layer
         enc = encoder_cls(cfg=cfg, dtype=dtype, name="encoder")(
             features, padding_mask, deterministic=deterministic,
             need_taps=need_taps, **enc_kwargs,
         )
         x = enc.x
 
-        if layer is not None and layer + 1 < cfg.encoder_layers:
+        n_slots = cfg.encoder_layers + (1 if cfg.enable_tr_layer else 0)
+        if layer is not None and layer + 1 < n_slots:
             # truncated run: return the raw hidden at `layer` (reference
             # early-exit path); heads are not applied
             return StudentOutput(

@@ -106,9 +106,21 @@ class MultiHeadSelfAttention(nn.Module):
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=logits_dtype
             ).astype(logits_dtype)
             if key_padding_mask is not None:
-                neg_inf = jnp.asarray(-jnp.inf, dtype=logits.dtype)
-                logits = jnp.where(key_padding_mask[:, None, None, :], neg_inf, logits)
+                # taps keep true -inf (the reference's before_softmax logits
+                # carry -inf, and its attn-MSE loss scrubs them); otherwise a
+                # FINITE mask value so a FULLY padded row (batch rows
+                # fabricated by pad_batch_to_full) softmaxes to uniform
+                # instead of 0/0 = NaN poisoning the loss and every gradient
+                neg = jnp.asarray(
+                    -jnp.inf if need_taps else -1e30, dtype=logits.dtype
+                )
+                logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
             probs = jax.nn.softmax(logits, axis=-1)
+            if need_taps:
+                # with -inf taps a fully-padded row softmaxes to NaN; zero it
+                # so the value path stays finite (the attn loss scrubs the
+                # -inf logits itself, reference train.py:337-341)
+                probs = jnp.where(jnp.isnan(probs), 0.0, probs)
             probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
             out = jnp.einsum(
                 "bhqk,bkhd->bqhd",

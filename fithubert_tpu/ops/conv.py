@@ -46,8 +46,20 @@ class Conv1D(nn.Module):
     use_bias: bool = True
     padding: Tuple[int, int] = (0, 0)
     kernel_init: Initializer = nn.initializers.lecun_normal()
-    bias_init: Initializer = nn.initializers.zeros
+    bias_init: Optional[Initializer] = None  # None = torch uniform(+-1/sqrt(fan_in))
     dtype: Optional[jnp.dtype] = None
+
+    def _bias_init(self, in_ch: int) -> Initializer:
+        if self.bias_init is not None:
+            return self.bias_init
+        # torch nn.Conv1d default: uniform(-1/sqrt(fan_in), +) with
+        # fan_in = (C_in / groups) * kernel_size
+        bound = 1.0 / math.sqrt(max(1, (in_ch // self.groups) * self.kernel_size))
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return init
 
     @nn.compact
     def __call__(self, x, return_kernel: bool = False):
@@ -63,7 +75,8 @@ class Conv1D(nn.Module):
             # so a multi-layer pallas kernel can run the conv itself while
             # the param tree stays byte-identical to the unfused path
             bias = (
-                self.param("bias", self.bias_init, (self.features,), jnp.float32)
+                self.param("bias", self._bias_init(in_ch), (self.features,),
+                           jnp.float32)
                 if self.use_bias
                 else None
             )
@@ -91,7 +104,8 @@ class Conv1D(nn.Module):
                 feature_group_count=self.groups,
             )
         if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            bias = self.param("bias", self._bias_init(in_ch), (self.features,),
+                              jnp.float32)
             y = y + bias
         return y.astype(dtype)
 

@@ -86,7 +86,11 @@ def _make_fwd_kernel(dropout_p: float):
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    # zero masked keys EXPLICITLY: for a fully-masked row s - m_new is
+    # NEG_INF - NEG_INF = 0 and exp would give 1 (fp32 absorbs the log-term),
+    # so rely on the mask, not the arithmetic — such rows produce out = 0,
+    # lse = NEG_INF, and zero gradients, self-consistently
+    p = jnp.where(mask[None, :], 0.0, jnp.exp(s - m_new))
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
     # dropout on the (unnormalized) probs: the normalizer l keeps the
@@ -135,8 +139,11 @@ def _make_bwd_dq_kernel(dropout_p: float):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = jnp.where(mask_ref[0, 0, :][None, :], NEG_INF, s)
-    p = jnp.exp(s - lse_ref[0, 0, :][:, None])  # (bq, bk); 0 where masked
+    km = mask_ref[0, 0, :][None, :]
+    s = jnp.where(km, NEG_INF, s)
+    # explicit zero at masked keys (NEG_INF - NEG_INF == 0 for fully-masked
+    # rows whose lse was pinned to NEG_INF)
+    p = jnp.where(km, 0.0, jnp.exp(s - lse_ref[0, 0, :][:, None]))  # (bq, bk)
 
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
@@ -179,8 +186,9 @@ def _make_bwd_dkv_kernel(dropout_p: float):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    s = jnp.where(mask_ref[0, 0, :][None, :], NEG_INF, s)
-    p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+    km = mask_ref[0, 0, :][None, :]
+    s = jnp.where(km, NEG_INF, s)
+    p = jnp.where(km, 0.0, jnp.exp(s - lse_ref[0, 0, :][:, None]))
 
     pv = p
     dp = jax.lax.dot_general(

@@ -40,12 +40,17 @@ def _mask_along_axis(
             n = min(int(adaptive_number_ratio * axis_len), max_n_time_masks)
         if adaptive_size_ratio > 0:
             hi = min(hi, int(adaptive_size_ratio * axis_len))
-    n = max(n, 1)
+    if n <= 0:
+        return spec
     hi = max(hi, lo + 1)
     k_len, k_pos = jax.random.split(key)
     mask_len = jax.random.randint(k_len, (b, n, 1), lo, hi)
-    max_pos = jnp.maximum(1, axis_len - jnp.max(mask_len))
-    mask_pos = jax.random.randint(k_pos, (b, n, 1), 0, 2**30) % max_pos
+    # position uniform in [0, L - len_i] PER mask (espnet semantics,
+    # reference utils/specaug.py:249-252) — not bounded by the batch max
+    u = jax.random.uniform(k_pos, (b, n, 1))
+    mask_pos = jnp.floor(
+        u * jnp.maximum(1, axis_len - mask_len + 1).astype(jnp.float32)
+    ).astype(jnp.int32)
     aran = jnp.arange(axis_len)[None, None, :]
     mask = (mask_pos <= aran) & (aran < mask_pos + mask_len)  # (B, n, L)
     mask = jnp.any(mask, axis=1)  # (B, L)

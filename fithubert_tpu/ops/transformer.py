@@ -168,18 +168,21 @@ class TimeReduction(nn.Module):
         xc = x.reshape(b, t_pad // f, f, c)
         # reference concatenates strided slices x[j::f] on the channel dim
         xc = jnp.concatenate([xc[:, :, j, :] for j in range(f)], axis=-1)
+        # fc variants effectively initialize N(0, 0.02): the reference's
+        # explicit xavier init is dead code — init_bert_params re-initializes
+        # every Linear in the encoder layer list after the TR insert
+        # (reference modules/module.py:221,253-254)
         if self.layer_type == "fc1":
             return nn.Dense(
-                self.embed_dim,
-                kernel_init=nn.initializers.xavier_uniform(),
+                self.embed_dim, kernel_init=bert_init,
                 dtype=self.dtype, param_dtype=jnp.float32, name="fc",
             )(xc)
         if self.layer_type == "fc2":
-            h = nn.Dense(self.embed_dim * f, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="fc_a")(xc)
+            h = nn.Dense(self.embed_dim * f, kernel_init=bert_init,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="fc_a")(xc)
             h = jax.nn.gelu(h, approximate=False)
-            return nn.Dense(self.embed_dim, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="fc_b")(h)
+            return nn.Dense(self.embed_dim, kernel_init=bert_init,
+                            dtype=self.dtype, param_dtype=jnp.float32, name="fc_b")(h)
         raise NotImplementedError(
             "tr_layer_type must be one of ['fc1', 'fc2', 'conv1d']"
         )
@@ -206,8 +209,9 @@ class TransformerEncoder(nn.Module):
         padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         need_taps: bool = False,
-        num_layers: Optional[int] = None,  # truncate after N transformer layers
-        # (reference tgt_layer early-exit, modules/module.py:330-337)
+        tgt_slot: Optional[int] = None,  # stop after layer-list slot N —
+        # SLOT indexing includes the TR module, exactly like the reference's
+        # tgt_layer over the torch ModuleList (modules/module.py:330-337)
     ) -> EncoderOutput:
         cfg = self.cfg
 
@@ -264,6 +268,8 @@ class TransformerEncoder(nn.Module):
                 )(x)
                 tr_layer_results.append(x)
                 padding_mask = reduce_padding_mask(padding_mask, cfg.tr_reduce_factor)
+                if tgt_slot is not None and slot >= tgt_slot:
+                    break
                 continue
 
             if cfg.layer_type == "conformer":
@@ -319,7 +325,7 @@ class TransformerEncoder(nn.Module):
             x = y
             layer_results.append((x, taps, layer_result))
             layer_idx += 1
-            if num_layers is not None and layer_idx >= num_layers:
+            if tgt_slot is not None and slot >= tgt_slot:
                 break
 
         # undo pad_to_multiple (reference modules/module.py:346-356). After a
@@ -334,6 +340,12 @@ class TransformerEncoder(nn.Module):
                 (h[:, :-pad_length], taps, lr[:, :-pad_length])
                 for (h, taps, lr) in layer_results
             ]
+
+        # pre-norm stacks normalize the FINAL hidden (fairseq applies
+        # encoder.layer_norm after the layer loop when layer_norm_first and
+        # no tgt_layer; layer_results stay un-normalized, matching fairseq)
+        if cfg.layer_norm_first and tgt_slot is None:
+            x = FP32LayerNorm(name="layer_norm")(x)
 
         return EncoderOutput(
             x=x,

@@ -31,17 +31,19 @@ def _sample_rand_layers(rng: random.Random, cfg: ExperimentConfig) -> np.ndarray
     return np.asarray(rng.sample(range(n - 1), k), dtype=np.int32)
 
 
-def load_teacher(cfg: ExperimentConfig, distiller: Distiller, rng, sample_wav):
-    """Load converted fairseq weights if present; else random teacher (smoke)."""
+def load_teacher_checkpoint(cfg: ExperimentConfig):
+    """Load converted/fairseq teacher weights + geometry if a checkpoint
+    exists; returns (geometry | None, variables | None). The geometry from
+    the checkpoint is authoritative (extractor mode/spec, pre-/post-LN,
+    pos-conv shape...) — the yaml's TeacherConfig only covers smoke runs."""
     path = cfg.teacher.teacher_model
     if path and os.path.exists(path):
         from fithubert_tpu.export.fairseq_import import load_teacher_any
 
-        geom, params = load_teacher_any(path)
-        return geom, params
+        return load_teacher_any(path)
     print(f"[teacher] checkpoint '{path}' not found — using randomly "
           f"initialized {cfg.teacher.model_type} teacher (smoke mode)")
-    return distiller.teacher_geometry, distiller.init_teacher_params(rng, sample_wav)
+    return None, None
 
 
 def run_training(
@@ -85,13 +87,19 @@ def run_training(
     )
 
     num_training_steps = max(1, cfg.train.num_epochs * len(train_data))
-    distiller = Distiller(cfg, mesh=mesh, num_training_steps=num_training_steps)
+    tg, teacher_params = load_teacher_checkpoint(cfg)
+    # the Distiller's TeacherModel is built from the CHECKPOINT geometry when
+    # one was loaded (extractor spec/mode, pre- vs post-LN, pos-conv shape)
+    distiller = Distiller(cfg, mesh=mesh, num_training_steps=num_training_steps,
+                          teacher_geometry=tg)
+    tg = distiller.teacher_geometry
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     sample = next(iter(train_data.epoch(0)))
     sample_wav = jnp.asarray(sample["x"][0])
 
-    tg, teacher_params = load_teacher(cfg, distiller, rng, sample_wav)
+    if teacher_params is None:
+        teacher_params = distiller.init_teacher_params(rng, sample_wav)
     teacher_params = distiller.shard_teacher(teacher_params)
 
     state = distiller.init_state(jax.random.fold_in(rng, 1), sample_wav)
@@ -127,12 +135,9 @@ def run_training(
     py_rng = random.Random(cfg.train.seed)
     step_rng = jax.random.fold_in(rng, 2)
 
-    def run_eval(data, epoch: int, name: str) -> float:
-        rand = jnp.asarray(
-            _sample_rand_layers(py_rng, cfg)
-            if cfg.loss.distil_random_layer > 0
-            else np.zeros((0,), np.int32)
-        )
+    def run_eval(data, epoch: int, name: str, rand) -> float:
+        # evaluate with the SAME random layer set the epoch trained on
+        # (reference resamples only at training_epoch_end, train.py:172-174)
         totals: Dict[str, float] = {}
         n = 0
         refs, hyps = [], []
@@ -164,8 +169,15 @@ def run_training(
         logger.log(int(state.step), means, prefix=f"{name}/")
         return means.get("v_loss", float("inf"))
 
+    def _sample_rand():
+        return jnp.asarray(
+            _sample_rand_layers(py_rng, cfg)
+            if cfg.loss.distil_random_layer > 0
+            else np.zeros((0,), np.int32)
+        )
+
     if test_only:
-        v = run_eval(test_data, 0, "test")
+        v = run_eval(test_data, 0, "test", _sample_rand())
         print(f"[test] loss {v:.4f}")
         return {"test_loss": v}
 
@@ -182,11 +194,7 @@ def run_training(
     profiler_ctx = None
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
-        rand = (
-            jnp.asarray(_sample_rand_layers(py_rng, cfg))
-            if cfg.loss.distil_random_layer > 0
-            else jnp.zeros((0,), jnp.int32)
-        )
+        rand = _sample_rand()
         for batch in train_data.epoch(epoch):
             b = {
                 k: jax.device_put(jnp.asarray(v), batch_sh)
@@ -212,7 +220,7 @@ def run_training(
                 stop = True
                 break
 
-        v_loss = run_eval(eval_data, epoch, "val")
+        v_loss = run_eval(eval_data, epoch, "val", rand)
         if host_id == 0:  # params are replicated; one host persists
             ckpt.save(global_step, jax.device_get(state), v_loss)
         if v_loss < best_v:

@@ -134,9 +134,11 @@ def compute_losses(
                 pred = jnp.take(proj_stack, ids, axis=1)
             else:
                 pred = f32(student.projections)  # (B, N, T, D)
-        # time alignment: teacher may be 1 frame longer after TR floor
-        # (train.py:282 narrow(2, 0, pred.shape[2]))
-        t_s = pred.shape[2]
+        # time alignment: TR floor/pad can leave either side 1 frame longer
+        # (the reference only narrows the teacher, train.py:282, and crashes
+        # when the student is longer) — crop both to the common length
+        t_s = min(pred.shape[2], target.shape[2])
+        pred = pred[:, :, :t_s]
         target = target[:, :, :t_s]
 
         layer_mask = (

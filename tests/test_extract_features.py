@@ -15,23 +15,30 @@ from fithubert_tpu.models import StudentModel
 
 
 def test_layer_truncation_matches_full_prefix():
+    # slot indexing counts the TR module (slot 0 in BASE): slot 1 is the
+    # first transformer layer, matching the reference's ModuleList tgt_layer
     model = StudentModel(cfg=BASE)
     variables = model.init({"params": jax.random.PRNGKey(0)}, WAV, MASK)
     full, _ = model.apply(variables, WAV, MASK, mutable=["batch_stats"])
-    trunc, _ = model.apply(variables, WAV, MASK, layer=0, mutable=["batch_stats"])
+    trunc, _ = model.apply(variables, WAV, MASK, layer=1, mutable=["batch_stats"])
     assert len(trunc.layer_results) == 1
-    # layer 0 hidden must equal the full run's layer 0 hidden
     np.testing.assert_allclose(
         np.asarray(trunc.x), np.asarray(full.layer_results[0][0]), atol=1e-6
     )
     assert trunc.projections is None
+    # slot 0 = the TR module itself: x is the TR output
+    tr, _ = model.apply(variables, WAV, MASK, layer=0, mutable=["batch_stats"])
+    assert len(tr.layer_results) == 0
+    np.testing.assert_allclose(
+        np.asarray(tr.x), np.asarray(full.tr_layer_results[0]), atol=1e-6
+    )
 
 
 def test_extract_features_method():
     model = StudentModel(cfg=BASE)
     variables = model.init({"params": jax.random.PRNGKey(0)}, WAV, MASK)
     out, _ = model.apply(
-        variables, WAV, MASK, 1, method="extract_features",
+        variables, WAV, MASK, 2, method="extract_features",
         mutable=["batch_stats"],
     )
     assert len(out.layer_results) == 2

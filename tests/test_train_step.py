@@ -152,3 +152,24 @@ def test_eval_step_v_loss():
     assert "v_loss" in logs and np.isfinite(float(logs["v_loss"]))
     # random mode: v_loss is the last-layer loss, not the weighted total
     np.testing.assert_allclose(float(logs["v_loss"]), float(logs["l1"]), rtol=1e-6)
+
+
+def test_fully_padded_row_keeps_loss_finite():
+    """pad_batch_to_full fabricates rows whose mask is all True (partial
+    trailing buckets); these must not NaN-poison the loss or gradients."""
+    cfg = tiny_cfg()
+    distiller = Distiller(cfg, mesh=make_mesh(1), num_training_steps=4)
+    rng = jax.random.PRNGKey(0)
+    accum, b, t_wav = 1, 2, 4000
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((accum, b, t_wav)), jnp.float32
+    )
+    mask = jnp.zeros((accum, b, t_wav), bool).at[:, 1, :].set(True)  # row 1 fake
+    wav = jnp.where(mask, 0.0, wav)
+    teacher_params = distiller.init_teacher_params(rng, wav[0])
+    state = distiller.init_state(jax.random.fold_in(rng, 1), wav[0])
+    step = distiller.make_train_step()
+    state, logs = step(state, teacher_params, {"x": wav, "padding_mask": mask},
+                       jnp.zeros((0,), jnp.int32), rng)
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["grad_norm"]))
