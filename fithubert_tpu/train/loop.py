@@ -46,6 +46,34 @@ def load_teacher_checkpoint(cfg: ExperimentConfig):
     return None, None
 
 
+class PreemptionGuard:
+    """SIGTERM/SIGINT-aware stop flag: cloud TPU preemptions deliver SIGTERM
+    with a grace window — the loop checks `should_stop` each step and saves a
+    resumable checkpoint before exiting (the reference has no failure
+    handling beyond EarlyStopping, SURVEY.md §5.3)."""
+
+    def __init__(self):
+        import signal
+
+        self.should_stop = False
+        self._prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except ValueError:  # not the main thread (e.g. under pytest-xdist)
+                pass
+
+    def _handler(self, signum, frame):
+        print(f"[preemption] signal {signum} received — will checkpoint and stop")
+        self.should_stop = True
+
+    def restore(self):
+        import signal
+
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+
+
 def run_training(
     cfg: ExperimentConfig,
     resume: bool = True,
@@ -185,6 +213,7 @@ def run_training(
     epochs_no_improve = 0
     global_step = int(state.step)
     stop = False
+    guard = PreemptionGuard()
 
     from fithubert_tpu.utils.profiling import StepTimer, trace
 
@@ -216,10 +245,20 @@ def run_training(
                 logs = jax.device_get(logs)
                 logs.update(rates)
                 logger.log(global_step, logs)
+            if guard.should_stop:
+                if host_id == 0:
+                    ckpt.save(global_step, jax.device_get(state),
+                              v_loss=float("inf"))
+                    ckpt.wait()
+                    print(f"[preemption] checkpointed step {global_step}; exiting")
+                stop = True
+                break
             if cfg.train.max_steps and global_step >= cfg.train.max_steps:
                 stop = True
                 break
 
+        if stop and guard.should_stop:
+            break
         v_loss = run_eval(eval_data, epoch, "val", rand)
         if host_id == 0:  # params are replicated; one host persists
             ckpt.save(global_step, jax.device_get(state), v_loss)
@@ -237,8 +276,10 @@ def run_training(
 
     if profiler_ctx is not None:
         profiler_ctx.__exit__(None, None, None)
+    guard.restore()
     ckpt.wait()
     if host_id == 0:
         export_student(cfg, state.params, out_dir, tag="student")
     logger.close()
-    return {"best_v_loss": best_v, "steps": global_step}
+    return {"best_v_loss": best_v, "steps": global_step,
+            "preempted": guard.should_stop}

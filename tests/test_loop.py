@@ -50,3 +50,27 @@ def test_test_only_mode(tmp_path):
     r = run_training(_smoke_cfg(out, max_steps=2, num_epochs=1), resume=False,
                      test_only=True)
     assert "test_loss" in r
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training must save a resumable checkpoint and stop."""
+    import os
+    import signal
+    import threading
+
+    from fithubert_tpu.train.loop import run_training
+
+    out = tmp_path / "run_p"
+    # fire SIGTERM shortly after training starts
+    timer = threading.Timer(10.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        r = run_training(_smoke_cfg(out, max_steps=0, num_epochs=500), resume=False)
+    finally:
+        timer.cancel()
+    assert r["preempted"]
+    assert r["steps"] < 2000  # stopped early
+    # resumable: a later invocation restores and finishes
+    r2 = run_training(_smoke_cfg(out, max_steps=r["steps"] + 2, num_epochs=500),
+                      resume=True)
+    assert r2["steps"] >= r["steps"]

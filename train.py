@@ -20,12 +20,17 @@ def main():
     parser.add_argument("--platform", default=os.environ.get("FITHUBERT_PLATFORM"),
                         help="force a jax platform (e.g. cpu) — overrides the "
                              "site-injected default")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans: fail fast at the first "
+                             "NaN-producing op (sanitizer mode)")
     args = parser.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from fithubert_tpu.config import load_yaml_config
     from fithubert_tpu.train.loop import run_training
