@@ -81,6 +81,15 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_for(dtype):
+    """fp32 keeps the exact erf GELU; bf16 uses the tanh approximation —
+    its ~1e-3 error is below bf16's own quantization step (2^-8 relative),
+    and the rational erf costs ~1/3 of the whole kernel on the VPU."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return _gelu_exact
+    return lambda v: jax.nn.gelu(v, approximate=True)
+
+
 def _layer_apply(x, kernel, k: int, s: int, f_out: int):
     """x (span, C_in) -> (f_out, C_out); kernel (k, C_in, C_out)."""
     c_in = x.shape[-1]
@@ -137,6 +146,7 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
 
         # fp32 intermediates: measured faster than bf16 on the VPU (gelu/
         # reshape elementwise work), and the dots accumulate fp32 anyway
+        gelu = _gelu_for(x_vmem.dtype)
         x = x_vmem[slot].astype(jnp.float32)
         for i, (_d, k, s) in enumerate(spec):
             # each layer emits exactly the frames the remaining stack needs:
@@ -144,7 +154,7 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
             # spec[i+1:]) frames out; the final layer lands on f_tile.
             f_next = _span_for(f_tile, spec[i + 1:])
             x = _layer_apply(x, weight_refs[i][:], k, s, f_next)
-            x = _gelu_exact(x)
+            x = gelu(x)
         out_ref[0] = x.astype(out_ref.dtype)
 
     return kernel
@@ -154,12 +164,13 @@ def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec)
     """XLA oracle: plain strided convs + exact GELU (used off-TPU and for the
     backward pass). x: (B, T, C) channels-last; weights[i]: (k, C_in, C_out)."""
     dn = jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NHC", "HIO", "NHC"))
+    approx = jnp.dtype(x.dtype) != jnp.float32  # same flavor as the kernel
     for (w, (_d, k, s)) in zip(weights, spec):
         x = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(s,), padding=[(0, 0)],
             dimension_numbers=dn,
         )
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=approx)
     return x
 
 
