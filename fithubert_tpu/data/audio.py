@@ -76,6 +76,16 @@ def decode_batch(paths, t_pad: int, n_threads: int = 0):
             t_pad, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
             n_threads,
         )
+        # retry any failed row individually (a transient open/read error in
+        # the threaded loader must not silently yield a silent utterance)
+        for i in np.nonzero(lengths == 0)[0]:
+            try:
+                wav = decode(paths[int(i)])
+            except (RuntimeError, OSError):
+                continue
+            m = min(len(wav), t_pad)
+            out[i, :m] = wav[:m]
+            lengths[i] = m
         if lengths.sum() > 0:
             return out, lengths
     out = np.zeros((n, t_pad), np.float32)
