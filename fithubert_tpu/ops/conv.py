@@ -207,20 +207,18 @@ class ConvFeatureExtractor(nn.Module):
 
             fused_ok = fusable(rest_spec)
 
-        # block 0 (+ the global-reduction GroupNorm) always via XLA
+        # block-0 conv via XLA; in the fused path its GroupNorm + GELU fold
+        # into the pallas kernel's prefix (only the fp32 stats reduce stays
+        # in XLA), so the normalized tensor never round-trips HBM
         dim0 = self.conv_layers[0][0]
         x = convs[0](x)
-        if self.dropout > 0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        if self.mode == "layer_norm":
-            x = FP32LayerNorm(name="layer_norm_0")(x)
-        elif self.mode == "default":
-            x = FP32GroupNorm(num_groups=dim0, name="group_norm")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        gn = (FP32GroupNorm(num_groups=dim0, name="group_norm")
+              if self.mode == "default" else None)
 
         if fused_ok:
             from fithubert_tpu.ops.pallas.conv_frontend import conv_stack
 
+            gn_params = gn(x, return_params=True) if gn is not None else None
             kernels = []
             c_in = x.shape[-1]
             for conv, (dim, _k, _s) in zip(convs[1:], rest_spec):
@@ -228,7 +226,15 @@ class ConvFeatureExtractor(nn.Module):
                                    return_kernel=True)
                 kernels.append(kern)
                 c_in = dim
-            return conv_stack(x, kernels, rest_spec)
+            return conv_stack(x, kernels, rest_spec, gn_params=gn_params)
+
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.mode == "layer_norm":
+            x = FP32LayerNorm(name="layer_norm_0")(x)
+        elif gn is not None:
+            x = gn(x)
+        x = jax.nn.gelu(x, approximate=False)
 
         for i, (dim, k, stride) in enumerate(self.conv_layers[1:], start=1):
             x = convs[i](x)

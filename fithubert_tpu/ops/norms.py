@@ -49,9 +49,15 @@ class FP32GroupNorm(nn.Module):
     use_affine: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         # x: (B, T, C)
         b, t, c = x.shape
+        if return_params:
+            # fused-kernel path: hand out (scale, bias) so a pallas kernel can
+            # apply the fold itself; the param tree stays identical
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            return scale, bias
         assert c % self.num_groups == 0, (c, self.num_groups)
         orig_dtype = x.dtype
         x32 = x.astype(jnp.float32).reshape(b, t, self.num_groups, c // self.num_groups)

@@ -108,11 +108,15 @@ def _layer_apply(x, kernel, k: int, s: int, f_out: int):
     return out
 
 
-def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
+def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int,
+                 with_norm: bool = False):
     n_layers = len(spec)
 
     def kernel(x_hbm, *args):
-        # args = (*weight_refs, out_ref, x_vmem (2-slot), sem (2))
+        # args = ([scale, shift,] *weight_refs, out_ref, x_vmem (2-slot), sem (2))
+        if with_norm:
+            scale_ref, shift_ref = args[0], args[1]
+            args = args[2:]
         weight_refs = args[:n_layers]
         out_ref = args[n_layers]
         x_vmem = args[n_layers + 1]
@@ -148,6 +152,11 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
         # reshape elementwise work), and the dots accumulate fp32 anyway
         gelu = _gelu_for(x_vmem.dtype)
         x = x_vmem[slot].astype(jnp.float32)
+        if with_norm:
+            # folded GroupNorm(d, d) prefix: y = x * (gamma * rstd) +
+            # (beta - mean * rstd * gamma), stats precomputed in XLA fp32
+            b_idx = pl.program_id(0)
+            x = gelu(x * scale_ref[0, 0, :] + shift_ref[0, 0, :])
         for i, (_d, k, s) in enumerate(spec):
             # each layer emits exactly the frames the remaining stack needs:
             # span_for(f_tile, spec[i:]) frames in -> span_for(f_tile,
@@ -160,9 +169,23 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int):
     return kernel
 
 
-def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec):
+def _gn_prefix(x, gamma, beta, eps=1e-5):
+    """Per-channel-over-time GroupNorm(d, d) + GELU (the reference's block-0
+    tail) in fp32 stats, matching ops/norms.FP32GroupNorm for groups == C."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.var(x32, axis=1, keepdims=True)
+    y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps)) * gamma + beta
+    approx = jnp.dtype(x.dtype) != jnp.float32
+    return jax.nn.gelu(y, approximate=approx).astype(x.dtype)
+
+
+def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec,
+                     gamma=None, beta=None):
     """XLA oracle: plain strided convs + exact GELU (used off-TPU and for the
     backward pass). x: (B, T, C) channels-last; weights[i]: (k, C_in, C_out)."""
+    if gamma is not None:
+        x = _gn_prefix(x, gamma, beta)
     dn = jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NHC", "HIO", "NHC"))
     approx = jnp.dtype(x.dtype) != jnp.float32  # same flavor as the kernel
     for (w, (_d, k, s)) in zip(weights, spec):
@@ -174,7 +197,9 @@ def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec)
     return x
 
 
-def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
+def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool,
+                  scale=None, shift=None):
+    with_norm = scale is not None
     b, t0, c0 = x.shape
     t_out = _out_len(t0, spec)
     n_tiles = pl.cdiv(t_out, f_tile)
@@ -186,13 +211,21 @@ def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
         x = jnp.pad(x, ((0, 0), (0, t_need - t0), (0, 0)))
 
     c_out = spec[-1][0]
+    norm_inputs, norm_specs = (), ()
+    if with_norm:
+        norm_inputs = (scale.reshape(b, 1, c0), shift.reshape(b, 1, c0))
+        norm_specs = (
+            pl.BlockSpec((1, 1, c0), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c0), lambda i, t: (i, 0, 0)),
+        )
     out = pl.pallas_call(
-        _make_kernel(spec, f_tile, span, c0),
+        _make_kernel(spec, f_tile, span, c0, with_norm),
         grid=(b, n_tiles),
         in_specs=[
             # ANY-space arrays must be whole with a trivial index map (TPU
             # lowering rule); the kernel DMAs its own (batch, span) window
             pl.BlockSpec(memory_space=pltpu.ANY),
+            *norm_specs,
             *[
                 pl.BlockSpec(w.shape, lambda i, t: (0,) * w.ndim,
                              memory_space=pltpu.VMEM)
@@ -206,7 +239,7 @@ def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x, *weights)
+    )(x, *norm_inputs, *weights)
     return out[:, :t_out]
 
 
@@ -264,7 +297,41 @@ def pick_f_tile(c0: int, spec: Spec, itemsize: int = 2,
     return 0  # does not fit: caller falls back to XLA
 
 
-def conv_stack(x, weights, spec: Spec, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_conv_stack_gn(x, weights, gamma, beta, spec: Spec, f_tile: int,
+                        interpret: bool = False):
+    """Like fused_conv_stack but with the block-0 GroupNorm(d,d) + GELU
+    folded into the kernel's prefix (stats via a cheap XLA fp32 reduce)."""
+    out, _ = _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret)
+    return out
+
+
+def _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1)  # (B, C)
+    var = jnp.var(x32, axis=1)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    scale = (rstd * gamma[None, :]).astype(x.dtype)
+    shift = (beta[None, :] - mean * rstd * gamma[None, :]).astype(x.dtype)
+    out = _pallas_stack(x, list(weights), spec, f_tile, interpret,
+                        scale=scale, shift=shift)
+    return out, (x, tuple(weights), gamma, beta)
+
+
+def _fused_gn_bwd(spec, f_tile, interpret, res, g):
+    x, weights, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x_, ws, ga, be: _reference_stack(x_, ws, spec, ga, be),
+        x, weights, gamma, beta,
+    )
+    return vjp(g.astype(x.dtype))
+
+
+fused_conv_stack_gn.defvjp(_fused_gn_fwd, _fused_gn_bwd)
+
+
+def conv_stack(x, weights, spec: Spec, interpret: bool = False,
+               gn_params=None):
     """Dispatch: pallas on TPU (or interpret), XLA oracle elsewhere / for
     non-fusable specs or stacks whose weights would blow VMEM."""
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -279,5 +346,11 @@ def conv_stack(x, weights, spec: Spec, interpret: bool = False):
         f_tile = pick_f_tile(x.shape[-1], spec, itemsize)
         if f_tile:
             ws = tuple(w.astype(x.dtype) for w in weights)
+            if gn_params is not None:
+                gamma, beta = gn_params
+                return fused_conv_stack_gn(x, ws, gamma, beta, spec, f_tile,
+                                           interpret)
             return fused_conv_stack(x, ws, spec, f_tile, interpret)
+    if gn_params is not None:
+        return _reference_stack(x, list(weights), spec, *gn_params)
     return _reference_stack(x, list(weights), spec)

@@ -96,3 +96,31 @@ def test_extractor_param_tree_identical_fused_vs_not():
     oa = ConvFeatureExtractor(conv_layers=spec, use_fused=True).apply(pa, wav)
     ob = ConvFeatureExtractor(conv_layers=spec, use_fused=False).apply(pb, wav)
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_gn_prefix_fused_matches_oracle():
+    from fithubert_tpu.ops.pallas.conv_frontend import fused_conv_stack_gn
+
+    spec, c_in, t0 = TINY_SPEC, 16, 600
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, t0, c_in)) * 0.5, jnp.float32)
+    ws = _weights(spec, c_in)
+    gamma = jnp.asarray(rng.standard_normal(c_in) * 0.1 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c_in) * 0.1, jnp.float32)
+
+    want = _reference_stack(x, list(ws), spec, gamma, beta)
+    got = fused_conv_stack_gn(x, ws, gamma, beta, spec, 16, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+
+    def loss_f(x, ws, gamma, beta):
+        return jnp.sum(fused_conv_stack_gn(x, ws, gamma, beta, spec, 16, True) ** 2)
+
+    def loss_r(x, ws, gamma, beta):
+        return jnp.sum(_reference_stack(x, list(ws), spec, gamma, beta) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 2, 3))(x, ws, gamma, beta)
+    gr = jax.grad(loss_r, argnums=(0, 2, 3))(x, ws, gamma, beta)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
