@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: student forward throughput on the FitHuBERT-960h geometry.
+"""Benchmarks on the FitHuBERT-960h release geometry (configs/fithubert.yaml).
 
-Prints ONE JSON line:
-  {"metric": "student_fwd_audio_sec_per_sec_per_chip", "value": N,
-   "unit": "audio-sec/sec/chip", "vs_baseline": N}
+Prints TWO JSON lines (the driver parses the LAST line as the headline):
 
-The north-star target (BASELINE.md) is >= 2000x real-time audio-sec/sec/chip
-for the student forward pass; `vs_baseline` is value / 2000. Runs bf16 on the
-first available device (TPU under the driver; CPU locally with smaller load).
+  1. {"metric": "kd_train_step_steps_per_sec", ...}  — the fused KD train
+     step (teacher fwd + student fwd/bwd + loss + AdamW in one jitted graph)
+     at the training config of record: batch 3 x grad-accum 4, 12 s
+     utterances, bf16 (reference data/conf/fithubert.yaml:7-11,91-97). Also
+     carries audio-sec/sec/chip and an analytic-FLOPs MFU estimate.
+  2. {"metric": "student_fwd_audio_sec_per_sec_per_chip", ...} — student
+     forward throughput; north-star target >= 2000x real-time (BASELINE.md).
+     Carries the train-step numbers again under "extra" so a single-line
+     consumer still sees everything.
+
+vs_baseline: fwd line = value / 2000 (the north-star multiple); train-step
+line = audio-sec/sec/chip / 250, where 250 = LibriSpeech-960h x 100 epochs
+(345.6M audio-sec) / (24 h x 16 chips of a v4-32) — the BASELINE.json
+"paper-parity loss in <24h on a v4-32" north star expressed per chip.
 """
 
 from __future__ import annotations
@@ -15,57 +24,32 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+SR = 16_000
+FWD_TARGET = 2000.0  # x real-time, BASELINE.md north star
+TRAIN_TARGET_AUDIO_PER_SEC = 345_600_000 / (24 * 3600 * 16)  # = 250
 
-def main():
+# bf16 peak FLOP/s per chip by device kind (for the MFU estimate)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,  # v6e
+}
+
+
+def _sync_factory():
+    """Strong timing barrier: block_until_ready + a device->host fetch when
+    the tunnel's fetch path is healthy (see CLAUDE.md: block_until_ready
+    alone does not reliably wait for remote execution)."""
+    import threading
+
     import jax
     import jax.numpy as jnp
-
-    from fithubert_tpu.config import load_yaml_config
-    from fithubert_tpu.models import StudentModel
-
-    platform = jax.devices()[0].platform
-    here = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_yaml_config(os.path.join(here, "configs", "fithubert.yaml")).distiller
-    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    model = StudentModel(cfg=cfg)
-
-    import sys
-
-    sr = 16_000
-    if "--quick" in sys.argv:
-        b, wav_sec, iters = 1, 2.0, 2
-    elif platform == "tpu":
-        b, wav_sec, iters = 32, 16.0, 30
-    else:  # CPU smoke sizing
-        b, wav_sec, iters = 2, 4.0, 3
-    t_wav = int(wav_sec * sr)
-
-    rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((b, t_wav)), jnp.float32)
-    mask = jnp.zeros((b, t_wav), dtype=bool)
-
-    # abstract init + zero params: throughput doesn't depend on weight values,
-    # and this avoids a minutes-long on-device init compile at batch shape
-    small_wav = jnp.zeros((1, 16 * 320), jnp.float32)
-    small_mask = jnp.zeros((1, 16 * 320), bool)
-    shapes = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0), small_wav, small_mask
-    )["params"]
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
-    @jax.jit
-    def fwd(params, wav, mask):
-        return model.apply({"params": params}, wav, mask, deterministic=True).x
-
-    # On the tunneled single-chip platform block_until_ready alone can return
-    # before execution finishes (inflating numbers), but device_get can also
-    # hang entirely if the tunnel's fetch path is down. Probe once with a
-    # watchdog; use the strong barrier only if fetches actually complete.
-    import threading
 
     def _probe_fetch() -> bool:
         done = []
@@ -84,9 +68,112 @@ def main():
     def sync(x):
         jax.block_until_ready(x)
         if fetch_ok:
-            np.asarray(jax.device_get(x[0, 0, :1]))
+            leaf = jax.tree.leaves(x)[0]
+            np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
-    # warmup / compile
+    return sync
+
+
+def _zeros_like_shapes(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+
+# ------------------------------------------------------------ analytic FLOPs
+def _conv_stack_flops(spec, t_in: int, b: int, c_in: int = 1):
+    fl, t, c = 0, t_in, c_in
+    for (d, k, s) in spec:
+        t = (t - k) // s + 1
+        fl += 2 * b * t * k * c * d
+        c = d
+    return fl, t
+
+
+def _encoder_flops(b, t, c, ffn, layers, heads, pos_k, pos_g):
+    """Matmul FLOPs of one forward pass of a (pos_conv + N transformer
+    layers) stack: qkv/out projections, T x T attention, FFN."""
+    pos = 2 * b * t * pos_k * c * (c // pos_g)
+    per_layer = (
+        4 * (2 * b * t * c * c)  # q, k, v, out projections
+        + 2 * (2 * b * t * t * c)  # QK^T and PV
+        + 2 * (2 * b * t * c * ffn)  # fc1, fc2
+    )
+    return pos + layers * per_layer
+
+
+def _kd_step_flops(cfg, teacher_geom, b, t_wav, accum):
+    """Analytic matmul FLOPs of one optimizer step (forward-only teacher +
+    forward+backward student + projection heads), per the fithubert.yaml
+    geometry. Backward ~= 2x forward for matmul-dominated graphs."""
+    d = cfg.distiller
+    # teacher: fwd only (frozen)
+    t_fl, t_frames = _conv_stack_flops(teacher_geom.conv_feature_layers, t_wav, b)
+    t_fl += _encoder_flops(
+        b, t_frames, teacher_geom.encoder_embed_dim,
+        teacher_geom.encoder_ffn_embed_dim, teacher_geom.encoder_layers,
+        teacher_geom.encoder_attention_heads, teacher_geom.conv_pos,
+        teacher_geom.conv_pos_groups,
+    )
+    # student: fwd + bwd (3x fwd)
+    s_fl, s_frames = _conv_stack_flops(d.conv_feature_layers, t_wav, b)
+    t_enc = s_frames // d.tr_reduce_factor if d.enable_tr_layer else s_frames
+    s_fl += _encoder_flops(
+        b, t_enc, d.encoder_embed_dim, d.encoder_ffn_embed_dim,
+        d.encoder_layers, d.encoder_attention_heads, d.conv_pos,
+        d.conv_pos_groups,
+    )
+    if d.enable_tr_layer:  # TR conv + upsampler ConvTranspose, k = s = factor
+        f = d.tr_reduce_factor
+        s_fl += 2 * 2 * b * t_enc * f * d.encoder_embed_dim * d.encoder_embed_dim
+    if d.layerwise_proj:  # per-layer upsample + Linear d_model -> final_dim
+        s_fl += d.encoder_layers * (
+            2 * b * t_enc * d.tr_reduce_factor
+            * d.encoder_embed_dim * d.encoder_embed_dim
+            + 2 * b * s_frames * d.encoder_embed_dim * d.pred_head_final_dim
+        )
+    return accum * (t_fl + 3 * s_fl)
+
+
+# --------------------------------------------------------------- benchmarks
+def bench_student_fwd(platform, quick, sync):
+    import jax
+    import jax.numpy as jnp
+
+    from fithubert_tpu.config import load_yaml_config
+    from fithubert_tpu.models import StudentModel
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_yaml_config(os.path.join(here, "configs", "fithubert.yaml")).distiller
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    model = StudentModel(cfg=cfg)
+
+    if quick:
+        b, wav_sec, iters = 1, 2.0, 2
+    elif platform == "tpu":
+        b, wav_sec, iters = 32, 16.0, 30
+    else:  # CPU smoke sizing
+        b, wav_sec, iters = 2, 4.0, 3
+    t_wav = int(wav_sec * SR)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((b, t_wav)), jnp.float32)
+    mask = jnp.zeros((b, t_wav), dtype=bool)
+
+    # abstract init + zero params: throughput doesn't depend on weight values,
+    # and this avoids a minutes-long on-device init compile at batch shape
+    small_wav = jnp.zeros((1, 16 * 320), jnp.float32)
+    small_mask = jnp.zeros((1, 16 * 320), bool)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), small_wav, small_mask
+    )["params"]
+    params = _zeros_like_shapes(shapes)
+
+    @jax.jit
+    def fwd(params, wav, mask):
+        return model.apply({"params": params}, wav, mask, deterministic=True).x
+
     sync(fwd(params, wav, mask))
     sync(fwd(params, wav, mask))
 
@@ -95,15 +182,116 @@ def main():
         out = fwd(params, wav, mask)
     sync(out)
     dt = time.perf_counter() - t0
+    return (b * wav_sec * iters) / dt
 
-    audio_sec = b * wav_sec * iters
-    value = audio_sec / dt
-    target = 2000.0
+
+def bench_train_step(platform, quick, sync):
+    import jax
+    import jax.numpy as jnp
+
+    from fithubert_tpu.config import load_yaml_config
+    from fithubert_tpu.models import TeacherGeometry
+    from fithubert_tpu.train.step import Distiller
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_yaml_config(os.path.join(here, "configs", "fithubert.yaml"))
+
+    if quick or platform != "tpu":
+        # smoke sizing: the full 12+12-layer graph takes minutes to compile
+        # on this 1-core CPU; shrink depth but keep the step structure
+        cfg = dataclasses.replace(
+            cfg,
+            distiller=dataclasses.replace(
+                cfg.distiller, encoder_layers=2,
+            ),
+            loss=dataclasses.replace(cfg.loss, distil_random_layer=1),
+        )
+        teacher_geom = dataclasses.replace(
+            TeacherGeometry.from_teacher_config(cfg.teacher),
+            encoder_layers=2, compute_dtype="bfloat16",
+        )
+        b, accum, wav_sec, iters = 1, 2, 2.0, 2
+    else:
+        teacher_geom = dataclasses.replace(
+            TeacherGeometry.from_teacher_config(cfg.teacher),
+            compute_dtype="bfloat16",
+        )
+        # training config of record: batch 3 x accum 4, ~12 s utterances
+        b, accum, wav_sec, iters = cfg.train.batch_size, \
+            cfg.train.accumulate_grad_batches, 12.0, 10
+
+    t_wav = int(wav_sec * SR)
+    distiller = Distiller(cfg, num_training_steps=1000,
+                          teacher_geometry=teacher_geom)
+
+    rng = jax.random.PRNGKey(0)
+    sample_wav = jnp.zeros((b, t_wav), jnp.float32)
+    teacher_params = _zeros_like_shapes(
+        jax.eval_shape(distiller.init_teacher_params, rng, sample_wav)
+    )
+    state = _zeros_like_shapes(
+        jax.eval_shape(distiller.init_state, rng, sample_wav)
+    )
+
+    np_rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(
+            np_rng.standard_normal((accum, b, t_wav)) * 0.1, jnp.float32
+        ),
+        "padding_mask": jnp.zeros((accum, b, t_wav), dtype=bool),
+    }
+    n_rand = max(1, cfg.loss.distil_random_layer)
+    rand_layers = jnp.arange(n_rand, dtype=jnp.int32)
+
+    step = distiller.make_train_step()
+    # warmup/compile (donated state: re-feed the returned one)
+    state, logs = step(state, teacher_params, batch, rand_layers, rng)
+    sync(logs["loss"])
+    state, logs = step(state, teacher_params, batch, rand_layers, rng)
+    sync(logs["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = step(state, teacher_params, batch, rand_layers, rng)
+    sync(logs["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    audio_per_sec = steps_per_sec * accum * b * wav_sec
+    flops_per_step = _kd_step_flops(cfg, teacher_geom, b, t_wav, accum)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), None)
+    mfu = (flops_per_step * steps_per_sec / peak) if peak else None
+    return {
+        "metric": "kd_train_step_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec (fithubert.yaml geometry)" if not (quick or platform != "tpu")
+        else "steps/sec (smoke-sized geometry)",
+        "vs_baseline": round(audio_per_sec / TRAIN_TARGET_AUDIO_PER_SEC, 4),
+        "audio_sec_per_sec_per_chip": round(audio_per_sec, 2),
+        "analytic_tflops_per_step": round(flops_per_step / 1e12, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "device_kind": kind,
+    }
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    quick = "--quick" in sys.argv
+    sync = _sync_factory()
+
+    train_line = bench_train_step(platform, quick, sync)
+    print(json.dumps(train_line), flush=True)
+
+    fwd_value = bench_student_fwd(platform, quick, sync)
     print(json.dumps({
         "metric": "student_fwd_audio_sec_per_sec_per_chip",
-        "value": round(value, 2),
+        "value": round(fwd_value, 2),
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(value / target, 4),
+        "vs_baseline": round(fwd_value / FWD_TARGET, 4),
+        "extra": {k: v for k, v in train_line.items() if k != "unit"},
     }))
 
 

@@ -13,22 +13,48 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 _NATIVE = None
 _NATIVE_TRIED = False
+_NATIVE_LOCK = threading.Lock()
 
 
 def _load_native():
+    global _NATIVE, _NATIVE_TRIED
+    # serialized: decode_batch runs on a thread pool, and a loser racing the
+    # first load would see TRIED=True with the lib still None and silently
+    # fall back to the (possibly absent) python decoder
+    with _NATIVE_LOCK:
+        return _load_native_locked()
+
+
+def _load_native_locked():
     global _NATIVE, _NATIVE_TRIED
     if _NATIVE_TRIED:
         return _NATIVE
     _NATIVE_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    build = os.path.join(here, "native", "build", "libaudioio.so")
+    if not os.path.exists(build) and os.path.exists(
+        os.path.join(here, "native", "audioio.cc")
+    ):
+        # build artifacts are not checked in; compile once on first use (this
+        # is the only FLAC decoder in environments without soundfile)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(here, "native")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass  # fall through to the python backends
     for cand in (
-        os.path.join(here, "native", "build", "libaudioio.so"),
+        build,
         os.path.join(here, "native", "libaudioio.so"),
     ):
         if os.path.exists(cand):

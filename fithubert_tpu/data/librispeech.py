@@ -28,11 +28,83 @@ from fithubert_tpu.config import DataConfig
 from fithubert_tpu.data import audio
 
 
-def read_bucket_csvs(file_path: str, sets: Sequence[str]) -> List[Tuple[str, int]]:
-    """Read (file_path, length) rows from the reference's bucket CSVs."""
+def flac_num_samples(path: str) -> int:
+    """Total samples from the FLAC STREAMINFO header (no decode)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head != b"fLaC":
+            return -1
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                return -1
+            block_type = hdr[0] & 0x7F
+            last = hdr[0] & 0x80
+            length = (hdr[1] << 16) | (hdr[2] << 8) | hdr[3]
+            body = f.read(length)
+            if block_type == 0 and length >= 34:
+                return ((body[13] & 0x0F) << 32) | (body[14] << 24) | \
+                       (body[15] << 16) | (body[16] << 8) | body[17]
+            if last:
+                return -1
+
+
+def scan_split(libri_root: str, split: str) -> List[Tuple[str, int]]:
+    """Walk `<libri_root>/<split>` collecting (relative path, num samples)."""
+    rows: List[Tuple[str, int]] = []
+    split_dir = os.path.join(libri_root, split)
+    for dirpath, _dirs, files in os.walk(split_dir):
+        for fn in sorted(files):
+            if not fn.endswith((".flac", ".wav")):
+                continue
+            full = os.path.join(dirpath, fn)
+            n = flac_num_samples(full) if fn.endswith(".flac") else len(audio.decode(full))
+            if n > 0:
+                rows.append((os.path.relpath(full, libri_root), n))
+    return rows
+
+
+def generate_bucket_csv(libri_root: str, split: str, out_dir: str) -> str:
+    """Write `<out_dir>/<split>.csv` (file_path,length) by scanning the
+    corpus — the same format as the reference's precomputed s3prl manifests
+    (reference utils/dataset.py:26-34). Returns the CSV path."""
+    rows = scan_split(libri_root, split)
+    if not rows:
+        raise FileNotFoundError(
+            f"corpus not found: no .flac/.wav files under "
+            f"{os.path.join(libri_root, split)}"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"{split}.csv")
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file_path", "length"])
+        w.writeheader()
+        for p, n in rows:
+            w.writerow({"file_path": p, "length": n})
+    return out_path
+
+
+def read_bucket_csvs(
+    file_path: str, sets: Sequence[str], libri_root: str = ""
+) -> List[Tuple[str, int]]:
+    """Read (file_path, length) rows from the reference's bucket CSVs.
+
+    Missing split CSVs are auto-generated from `libri_root` (the reference
+    hard-requires the precomputed manifests, utils/dataset.py:26-34; here a
+    user pointing at a corpus never hits a missing-metadata error)."""
     rows: List[Tuple[str, int]] = []
     for s in sets:
-        with open(os.path.join(file_path, s + ".csv")) as f:
+        csv_path = os.path.join(file_path, s + ".csv")
+        if not os.path.exists(csv_path) and libri_root:
+            if os.path.isdir(os.path.join(libri_root, s)):
+                print(f"[data] bucket CSV missing; scanning corpus -> {csv_path}")
+                generate_bucket_csv(libri_root, s, file_path)
+            else:
+                raise FileNotFoundError(
+                    f"corpus not found: neither bucket CSV {csv_path} nor "
+                    f"corpus split {os.path.join(libri_root, s)} exists"
+                )
+        with open(csv_path) as f:
             reader = csv.DictReader(f)
             for r in reader:
                 rows.append((r["file_path"], int(r["length"])))
@@ -103,7 +175,7 @@ class BucketedLibriSpeech:
         self.shuffle = shuffle
         self.seed = seed
         self.pad_batch_to_full = pad_batch_to_full
-        rows = read_bucket_csvs(cfg.bucketing_path, sets)
+        rows = read_bucket_csvs(cfg.bucketing_path, sets, cfg.libri_root)
         if cfg.max_wav_length > 0:
             rows = [(p, min(l, cfg.max_wav_length)) for (p, l) in rows]
         buckets = make_buckets(rows, batch_size)

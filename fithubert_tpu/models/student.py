@@ -145,7 +145,9 @@ class StudentModel(nn.Module):
         if cfg.layer_type == "conformer" and cfg.pos_enc_type in ("rel_pos", "rope"):
             encoder_cls = ConformerEncoder
         enc_kwargs = {}
-        if layer is not None and encoder_cls is TransformerEncoder:
+        if layer is not None:
+            # both encoders honor the early-exit slot (reference
+            # modules/module.py:330-337 and :456-461)
             enc_kwargs["tgt_slot"] = layer
         enc = encoder_cls(cfg=cfg, dtype=dtype, name="encoder")(
             features, padding_mask, deterministic=deterministic,

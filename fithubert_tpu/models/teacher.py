@@ -141,9 +141,24 @@ class TeacherModel(nn.Module):
         features = FP32LayerNorm(name="layer_norm")(features)
 
         if padding_mask is not None:
-            lengths = padding_mask_to_lengths(padding_mask)
-            out_lengths = feat_extract_output_lengths(lengths, g.conv_feature_layers)
-            padding_mask = lengths_to_padding_mask(out_lengths, features.shape[1])
+            if g.model_type == "hubert":
+                # fairseq HubertModel.forward_padding_mask: crop the wave mask
+                # to a multiple of T', view as (B, T', chunk), frame padded iff
+                # ALL its samples are padded — off-by-one vs the conv formula
+                # at the valid/padded boundary, reproduced exactly
+                t_frames = features.shape[1]
+                extra = padding_mask.shape[1] % t_frames
+                pm = padding_mask[:, : padding_mask.shape[1] - extra] if extra \
+                    else padding_mask
+                padding_mask = pm.reshape(pm.shape[0], t_frames, -1).all(-1)
+            else:
+                # wav2vec2 / wav2vec_ctc: _get_feat_extract_output_lengths
+                # conv formula (fairseq wav2vec2.py forward)
+                lengths = padding_mask_to_lengths(padding_mask)
+                out_lengths = feat_extract_output_lengths(
+                    lengths, g.conv_feature_layers
+                )
+                padding_mask = lengths_to_padding_mask(out_lengths, features.shape[1])
 
         embed = g.conv_feature_layers[-1][0]
         if embed != g.encoder_embed_dim:
@@ -159,14 +174,18 @@ class TeacherModel(nn.Module):
         )
 
         ctc_logits = None
+        # The reference wrapper's 'x' is the LAST HOOK output, not the
+        # encoder's final return (utils/utils.py:96): for layer_norm_first
+        # teachers this skips the final encoder LayerNorm — reproduced.
+        x = enc.layer_results[-1][0] if enc.layer_results else enc.x
+
         if g.model_type == "wav2vec_ctc" and g.vocab_size > 0:
-            # fairseq Wav2VecCtc: w2v_encoder.proj on top of final hidden
             ctc_logits = nn.Dense(
                 g.vocab_size, dtype=dtype, param_dtype=jnp.float32, name="ctc_proj"
-            )(enc.x)
+            )(x)
 
         return TeacherOutput(
-            x=enc.x,
+            x=x,
             layer_results=enc.layer_results,
             features=post_cnn,
             padding_mask=enc.padding_mask,

@@ -266,7 +266,11 @@ class ConformerEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, deterministic=True, need_taps=False):
+    def __call__(self, x, padding_mask=None, deterministic=True, need_taps=False,
+                 tgt_slot: Optional[int] = None):
+        """tgt_slot: stop after layer index N — the reference's tgt_layer
+        early exit (modules/module.py:456-461); no TR module here so slot
+        indexing equals layer indexing."""
         from fithubert_tpu.ops.transformer import EncoderOutput
 
         cfg = self.cfg
@@ -296,6 +300,8 @@ class ConformerEncoder(nn.Module):
                 name=f"layers_{i}",
             )(x, padding_mask, pos_emb, deterministic, need_taps)
             layer_results.append((x, taps, layer_result))
+            if tgt_slot is not None and i >= tgt_slot:
+                break
 
         return EncoderOutput(
             x=x, layer_results=layer_results, tr_layer_results=[],

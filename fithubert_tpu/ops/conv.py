@@ -95,14 +95,22 @@ class Conv1D(nn.Module):
                 preferred_element_type=jnp.float32,
             )
         else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype),
-                kernel.astype(dtype),
+            conv = lambda x_, k_: jax.lax.conv_general_dilated(
+                x_,
+                k_,
                 window_strides=(self.stride,),
                 padding=[self.padding],
                 dimension_numbers=_conv_dn(),
                 feature_group_count=self.groups,
             )
+            if self.groups > 1:
+                # GSPMD replicates grouped convs instead of batch-partitioning
+                # them; under a kernel mesh run per-shard explicitly
+                from fithubert_tpu.parallel import batch_shard_map
+
+                y = batch_shard_map(conv, x.astype(dtype), kernel.astype(dtype))
+            else:
+                y = conv(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", self._bias_init(in_ch), (self.features,),
                               jnp.float32)
@@ -280,13 +288,21 @@ class PositionalConv(nn.Module):
 
         dtype = self.dtype or x.dtype
         pad = k // 2
-        y = jax.lax.conv_general_dilated(
+        from fithubert_tpu.parallel import batch_shard_map
+
+        # grouped conv: GSPMD replicates it under a mesh; shard_map keeps it
+        # batch-parallel (no-op single-chip)
+        y = batch_shard_map(
+            lambda x_, k_: jax.lax.conv_general_dilated(
+                x_,
+                k_,
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                dimension_numbers=_conv_dn(),
+                feature_group_count=g,
+            ),
             x.astype(dtype),
             kernel.astype(dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            dimension_numbers=_conv_dn(),
-            feature_group_count=g,
         ).astype(dtype)
         y = y + bias.astype(dtype)
         if k % 2 == 0:  # SamePad: drop trailing step for even kernels

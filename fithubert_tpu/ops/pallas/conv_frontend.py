@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 Spec = Tuple[Tuple[int, int, int], ...]  # (dim, kernel, stride) per layer
 
@@ -333,7 +334,13 @@ fused_conv_stack_gn.defvjp(_fused_gn_fwd, _fused_gn_bwd)
 def conv_stack(x, weights, spec: Spec, interpret: bool = False,
                gn_params=None):
     """Dispatch: pallas on TPU (or interpret), XLA oracle elsewhere / for
-    non-fusable specs or stacks whose weights would blow VMEM."""
+    non-fusable specs or stacks whose weights would blow VMEM. Under an
+    active kernel mesh (parallel.use_kernel_mesh) the fused path runs inside
+    a shard_map over the 'data' (batch) axis with replicated weights — GSPMD
+    cannot partition a pallas_call itself."""
+    from fithubert_tpu.ops.pallas import interpret_forced
+
+    interpret = interpret or interpret_forced()
     on_tpu = jax.devices()[0].platform == "tpu"
     # the per-tile DMA slices the channel (lane) dim whole: it must be
     # 128-lane aligned (true for the standard 128/256/512-wide specs)
@@ -346,11 +353,28 @@ def conv_stack(x, weights, spec: Spec, interpret: bool = False,
         f_tile = pick_f_tile(x.shape[-1], spec, itemsize)
         if f_tile:
             ws = tuple(w.astype(x.dtype) for w in weights)
-            if gn_params is not None:
-                gamma, beta = gn_params
-                return fused_conv_stack_gn(x, ws, gamma, beta, spec, f_tile,
-                                           interpret)
-            return fused_conv_stack(x, ws, spec, f_tile, interpret)
+
+            def _fused(x_, ws_, gn_):
+                if gn_ is not None:
+                    return fused_conv_stack_gn(x_, ws_, gn_[0], gn_[1], spec,
+                                               f_tile, interpret)
+                return fused_conv_stack(x_, ws_, spec, f_tile, interpret)
+
+            from fithubert_tpu.parallel import current_kernel_mesh
+
+            mesh = current_kernel_mesh()
+            if mesh is not None and x.shape[0] % mesh.shape.get("data", 1) == 0:
+                return jax.shard_map(
+                    _fused,
+                    mesh=mesh,
+                    in_specs=(P("data", None, None), P(), P()),
+                    out_specs=P("data", None, None),
+                    check_vma=False,
+                )(x, ws, gn_params)
+            if mesh is None:
+                return _fused(x, ws, gn_params)
+            # ragged batch under a mesh: fall through to the XLA oracle,
+            # which GSPMD partitions natively
     if gn_params is not None:
         return _reference_stack(x, list(weights), spec, *gn_params)
     return _reference_stack(x, list(weights), spec)

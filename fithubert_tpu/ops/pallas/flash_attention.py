@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 NEG_INF = -1e30
 
@@ -366,10 +367,13 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention entry point. Falls back to the XLA path off-TPU or for
-    shapes the kernel does not support (tiny or unaligned T)."""
-    def _fallback():
-        out = _attention_reference(q, k, v, key_padding_mask)
-        return out
+    shapes the kernel does not support (tiny or unaligned T). Under an active
+    kernel mesh (parallel.use_kernel_mesh) the kernel runs inside a shard_map
+    over the 'data' (batch) and, when head-divisible, 'model' (heads) axes —
+    GSPMD cannot partition a pallas_call itself."""
+    from fithubert_tpu.ops.pallas import interpret_forced
+
+    interpret = interpret or interpret_forced()
 
     b, t, h, d = q.shape
     if dropout_p > 0.0:
@@ -401,6 +405,38 @@ def flash_attention(
         key_padding_mask = jnp.zeros((b, t), dtype=bool)
     seed = (dropout_seed if dropout_seed is not None
             else jnp.zeros((1,), jnp.int32)).astype(jnp.int32).reshape(1)
+
+    from fithubert_tpu.parallel import current_kernel_mesh
+
+    mesh = current_kernel_mesh()
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        n_model = mesh.shape.get("model", 1)
+        if b % n_data != 0 or (n_model > 1 and h % n_model != 0):
+            # per-shard shapes would be ragged: let GSPMD shard the XLA path
+            return _xla_with_dropout(q, k, v, key_padding_mask,
+                                     dropout_p, dropout_seed)
+        head_axis = "model" if n_model > 1 else None
+        qspec = P("data", None, head_axis, None)
+
+        def _sharded(qs, ks, vs, masks, seeds):
+            # decorrelate the in-kernel dropout PRNG across shards (the same
+            # (z, qb, kb) block triple exists on every shard otherwise)
+            idx = jax.lax.axis_index("data")
+            if head_axis is not None:
+                idx = idx * n_model + jax.lax.axis_index("model")
+            seeds = seeds + idx.astype(jnp.int32) * jnp.int32(2654435761 & 0x7FFFFFFF)
+            return _flash_core(qs, ks, vs, masks, seeds,
+                               float(dropout_p), block_q, block_k, interpret)
+
+        return jax.shard_map(
+            _sharded,
+            mesh=mesh,
+            in_specs=(qspec, qspec, qspec, P("data", None), P()),
+            out_specs=qspec,
+            check_vma=False,
+        )(q, k, v, key_padding_mask, seed)
+
     return _flash_core(q, k, v, key_padding_mask, seed,
                        float(dropout_p), block_q, block_k, interpret)
 

@@ -215,6 +215,13 @@ class TransformerEncoder(nn.Module):
     ) -> EncoderOutput:
         cfg = self.cfg
 
+        # under a kernel mesh, pin the encoder input to the 'data' axis —
+        # GSPMD propagation can drift to replication inside scan bodies
+        # (observed: pos_conv all-gathering its batch in the accum loop)
+        from fithubert_tpu.parallel import constrain_batch_sharded
+
+        x = constrain_batch_sharded(x)
+
         if padding_mask is not None:
             x = apply_padding_mask(x, padding_mask)
 

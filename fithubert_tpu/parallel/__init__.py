@@ -4,4 +4,8 @@ from fithubert_tpu.parallel.mesh import (
     param_sharding,
     replicated,
     shard_batch,
+    use_kernel_mesh,
+    current_kernel_mesh,
+    constrain_batch_sharded,
+    batch_shard_map,
 )

@@ -11,8 +11,10 @@ code here, per the scaling-book recipe: pick a mesh, annotate, let XLA work).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import re
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -87,3 +89,70 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with the leading dim over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+# --------------------------------------------------------------- kernel mesh
+# GSPMD cannot partition a pallas_call: left alone under a sharded jit it
+# forces full replication (all-gather of activations) or fails to lower. The
+# fix is to run the kernels under an explicit jax.shard_map over the batch
+# axis. The mesh is made ambient here (a contextvar set while the train/eval
+# step traces) so the kernel dispatchers in ops/pallas can wrap themselves
+# without threading a mesh argument through every model layer.
+_KERNEL_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "fithubert_kernel_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def use_kernel_mesh(mesh: Optional[Mesh]):
+    """Make `mesh` visible to pallas kernel dispatch during tracing. A 1-device
+    mesh is treated as None (no wrapping: single-chip HLO stays byte-stable)."""
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) <= 1:
+        mesh = None
+    token = _KERNEL_MESH.set(mesh)
+    try:
+        yield mesh
+    finally:
+        _KERNEL_MESH.reset(token)
+
+
+def current_kernel_mesh() -> Optional[Mesh]:
+    return _KERNEL_MESH.get()
+
+
+def batch_shard_map(fn, x, *consts):
+    """Run pure `fn(x, *consts)` under the ambient kernel mesh with x (and
+    every output) sharded on the leading/batch dim over 'data' and consts
+    replicated. No-op without a mesh or when the batch is ragged.
+
+    Used for ops GSPMD refuses to batch-partition — observed: grouped
+    convolutions (the weight-norm pos_conv, feature_group_count > 1) fall
+    back to full replication, all-gathering their batch."""
+    mesh = _KERNEL_MESH.get()
+    if mesh is None or x.shape[0] % mesh.shape.get("data", 1) != 0:
+        return fn(x, *consts)
+    out_sd = jax.eval_shape(fn, x, *consts)
+    bspec = lambda nd: P("data", *([None] * (nd - 1)))
+    out_specs = jax.tree.map(lambda s: bspec(len(s.shape)), out_sd)
+    in_specs = (bspec(x.ndim),) + tuple(
+        jax.tree.map(lambda _: P(), c) for c in consts
+    )
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )(x, *consts)
+
+
+def constrain_batch_sharded(x):
+    """Pin an activation's leading dim to the 'data' axis of the ambient
+    kernel mesh (no-op without one). GSPMD's propagation can drift to
+    full replication inside while/scan bodies (observed: the pos_conv conv
+    all-gathering its batch inside the grad-accum scan); an explicit
+    with_sharding_constraint at module boundaries keeps activations
+    batch-sharded."""
+    mesh = _KERNEL_MESH.get()
+    if mesh is None or x is None:
+        return x
+    if x.shape[0] % mesh.shape.get("data", 1) != 0:
+        return x
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -24,7 +24,12 @@ from flax import struct
 
 from fithubert_tpu.config import ExperimentConfig
 from fithubert_tpu.models import StudentModel, TeacherGeometry, TeacherModel
-from fithubert_tpu.parallel import make_mesh, param_sharding, replicated
+from fithubert_tpu.parallel import (
+    make_mesh,
+    param_sharding,
+    replicated,
+    use_kernel_mesh,
+)
 from fithubert_tpu.train.losses import compute_losses
 from fithubert_tpu.train.optim import build_optimizer
 
@@ -165,14 +170,30 @@ class Distiller:
         )
         return loss_out, new_vars
 
+    def _with_kernel_mesh(self, fn):
+        """Run `fn` (a function being jit-traced) with self.mesh ambient, so
+        pallas kernel dispatch can shard_map itself over the mesh."""
+
+        def wrapped(*args, **kwargs):
+            with use_kernel_mesh(self.mesh):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     # ------------------------------------------------------------ train step
     def make_train_step(self):
         cfg = self.cfg
 
         def train_step(state: TrainState, teacher_params, batch, rand_layers, rng):
             """batch: {'x': (A, B, T), 'padding_mask': (A, B, T)} — leading
-            axis = accumulation microbatches."""
+            axis = accumulation microbatches. The body traces under
+            use_kernel_mesh so any pallas kernel on the path wraps itself in
+            a shard_map over the mesh instead of stalling GSPMD."""
+            return self._with_kernel_mesh(_train_step_body)(
+                state, teacher_params, batch, rand_layers, rng
+            )
 
+        def _train_step_body(state: TrainState, teacher_params, batch, rand_layers, rng):
             def loss_fn(params, extra_vars, wav, mask, labels, label_paddings, rngs):
                 loss_out, new_vars = self._forward_loss(
                     params, extra_vars, teacher_params, wav, mask,
@@ -243,7 +264,7 @@ class Distiller:
             logits = s_out.x[..., :vocab_size]
             return jnp.argmax(logits, axis=-1), s_out.padding_mask
 
-        return jax.jit(predict_step)
+        return jax.jit(self._with_kernel_mesh(predict_step))
 
     # ------------------------------------------------------------- eval step
     def make_eval_step(self):
@@ -267,4 +288,4 @@ class Distiller:
             )
             return logs
 
-        return jax.jit(eval_step)
+        return jax.jit(self._with_kernel_mesh(eval_step))

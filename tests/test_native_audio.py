@@ -17,8 +17,15 @@ from tests.flac_writer import write_flac, write_wav
 LIB = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "native", "build", "libaudioio.so")
 
+
+def _lib_available() -> bool:
+    from fithubert_tpu.data import audio
+
+    return audio._load_native() is not None  # auto-builds on first use
+
+
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(LIB), reason="native lib not built (make -C native)"
+    not _lib_available(), reason="native lib not built (make -C native failed)"
 )
 
 

@@ -25,40 +25,64 @@ POS_K, POS_G = 16, 4
 
 
 class TorchOracle(nn.Module):
-    """fairseq-semantics forward, written against the equations (post-LN,
-    default extractor mode, exact GELU, q scaled pre-QK^T, fp32 norms)."""
+    """fairseq-semantics forward, written against the equations (exact GELU,
+    q scaled pre-QK^T, fp32 norms). model_type selects the fairseq frame-mask
+    recompute: 'hubert' = HubertModel.forward_padding_mask (crop wave mask to
+    a multiple of T', view (B, T', chunk), all(-1)); 'wav2vec2' =
+    _get_feat_extract_output_lengths conv formula. extractor 'default' =
+    GroupNorm on block 0; 'layer_norm' = per-block LayerNorm(+bias convs)."""
 
-    def __init__(self):
+    def __init__(self, model_type="hubert", extractor_mode="default",
+                 layer_norm_first=False):
         super().__init__()
+        self.model_type = model_type
+        self.extractor_mode = extractor_mode
+        self.layer_norm_first = layer_norm_first
         convs = []
         c_in = 1
         for (dim, k, s) in CONV:
-            convs.append(nn.Conv1d(c_in, dim, k, stride=s, bias=False))
+            convs.append(nn.Conv1d(c_in, dim, k, stride=s,
+                                   bias=extractor_mode == "layer_norm"))
             c_in = dim
         self.convs = nn.ModuleList(convs)
-        self.group_norm = nn.GroupNorm(CONV[0][0], CONV[0][0])
+        if extractor_mode == "layer_norm":
+            self.block_norms = nn.ModuleList(
+                [nn.LayerNorm(d) for (d, _k, _s) in CONV]
+            )
+        else:
+            self.group_norm = nn.GroupNorm(CONV[0][0], CONV[0][0])
         self.layer_norm = nn.LayerNorm(CONV[-1][0])
         self.post_extract_proj = nn.Linear(CONV[-1][0], D)
         pos = nn.Conv1d(D, D, POS_K, padding=POS_K // 2, groups=POS_G)
         self.pos_conv = nn.utils.weight_norm(pos, name="weight", dim=2)
         self.enc_layer_norm = nn.LayerNorm(D)
-        self.layers = nn.ModuleList([TorchLayer() for _ in range(LAYERS)])
+        self.layers = nn.ModuleList(
+            [TorchLayer(layer_norm_first) for _ in range(LAYERS)]
+        )
 
     def forward(self, wav, padding_mask):
         x = wav.unsqueeze(1)  # (B, 1, T)
         for i, conv in enumerate(self.convs):
             x = conv(x)
-            if i == 0:
+            if self.extractor_mode == "layer_norm":
+                x = self.block_norms[i](x.transpose(1, 2)).transpose(1, 2)
+            elif i == 0:
                 x = self.group_norm(x)
             x = F.gelu(x, approximate="none")
         x = x.transpose(1, 2)  # (B, T', C)
         x = self.layer_norm(x)
 
-        # recompute frame-rate padding mask via the conv length formula
-        lengths = (~padding_mask).sum(-1)
-        for (_d, k, s) in CONV:
-            lengths = torch.div(lengths - k, s, rounding_mode="floor") + 1
-        frame_mask = torch.arange(x.shape[1])[None, :] >= lengths[:, None]
+        if self.model_type == "hubert":
+            # fairseq hubert.py forward_padding_mask: chunked all() reduction
+            extra = padding_mask.size(1) % x.size(1)
+            pm = padding_mask[:, :-extra] if extra > 0 else padding_mask
+            frame_mask = pm.view(pm.size(0), x.size(1), -1).all(-1)
+        else:
+            # wav2vec2: conv length formula
+            lengths = (~padding_mask).sum(-1)
+            for (_d, k, s) in CONV:
+                lengths = torch.div(lengths - k, s, rounding_mode="floor") + 1
+            frame_mask = torch.arange(x.shape[1])[None, :] >= lengths[:, None]
 
         x = self.post_extract_proj(x)
         feats = x.clone()
@@ -67,8 +91,12 @@ class TorchOracle(nn.Module):
         pos = self.pos_conv(x.transpose(1, 2))[:, :, :-1]  # SamePad even k
         pos = F.gelu(pos, approximate="none").transpose(1, 2)
         x = x + pos
-        x = self.enc_layer_norm(x)
+        if not self.layer_norm_first:
+            x = self.enc_layer_norm(x)
 
+        # per-layer hook capture; the reference wrapper's 'x' is the LAST
+        # HOOK output (utils/utils.py:96) — for pre-LN stacks the final
+        # encoder.layer_norm is therefore NEVER applied to it
         hiddens = []
         for layer in self.layers:
             x = layer(x, frame_mask)
@@ -77,8 +105,9 @@ class TorchOracle(nn.Module):
 
 
 class TorchLayer(nn.Module):
-    def __init__(self):
+    def __init__(self, layer_norm_first=False):
         super().__init__()
+        self.layer_norm_first = layer_norm_first
         self.q_proj = nn.Linear(D, D)
         self.k_proj = nn.Linear(D, D)
         self.v_proj = nn.Linear(D, D)
@@ -88,10 +117,9 @@ class TorchLayer(nn.Module):
         self.fc2 = nn.Linear(FFN, D)
         self.final_layer_norm = nn.LayerNorm(D)
 
-    def forward(self, x, key_padding_mask):
+    def _attn(self, x, key_padding_mask):
         b, t, _ = x.shape
         hd = D // HEADS
-        residual = x
         q = self.q_proj(x) * hd ** -0.5
         k = self.k_proj(x)
         v = self.v_proj(x)
@@ -104,19 +132,37 @@ class TorchLayer(nn.Module):
         )
         probs = logits.float().softmax(-1).to(v.dtype)
         attn = (probs @ v).transpose(1, 2).reshape(b, t, D)
-        x = self.self_attn_layer_norm(residual + self.out_proj(attn))
+        return self.out_proj(attn)
 
+    def forward(self, x, key_padding_mask):
+        if self.layer_norm_first:
+            residual = x
+            x = residual + self._attn(self.self_attn_layer_norm(x), key_padding_mask)
+            residual = x
+            y = self.fc2(F.gelu(self.fc1(self.final_layer_norm(x)), approximate="none"))
+            return residual + y
+        residual = x
+        x = self.self_attn_layer_norm(residual + self._attn(x, key_padding_mask))
         residual = x
         y = self.fc2(F.gelu(self.fc1(x), approximate="none"))
         return self.final_layer_norm(residual + y)
 
 
-def _fairseq_state_dict(oracle: TorchOracle):
+def _fairseq_state_dict(oracle: TorchOracle, hubert_marker=True):
     sd = {}
     for i, conv in enumerate(oracle.convs):
         sd[f"feature_extractor.conv_layers.{i}.0.weight"] = conv.weight
-    sd["feature_extractor.conv_layers.0.2.weight"] = oracle.group_norm.weight
-    sd["feature_extractor.conv_layers.0.2.bias"] = oracle.group_norm.bias
+        if conv.bias is not None:
+            sd[f"feature_extractor.conv_layers.{i}.0.bias"] = conv.bias
+    if oracle.extractor_mode == "layer_norm":
+        # fairseq layer_norm blocks: Sequential(conv, Dropout,
+        # Sequential(TransposeLast, Fp32LayerNorm, TransposeLast), GELU)
+        for i, ln in enumerate(oracle.block_norms):
+            sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = ln.weight
+            sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = ln.bias
+    else:
+        sd["feature_extractor.conv_layers.0.2.weight"] = oracle.group_norm.weight
+        sd["feature_extractor.conv_layers.0.2.bias"] = oracle.group_norm.bias
     sd["layer_norm.weight"] = oracle.layer_norm.weight
     sd["layer_norm.bias"] = oracle.layer_norm.bias
     sd["post_extract_proj.weight"] = oracle.post_extract_proj.weight
@@ -136,24 +182,39 @@ def _fairseq_state_dict(oracle: TorchOracle):
             mod = getattr(layer, name)
             sd[f"{p}.{name}.weight"] = mod.weight
             sd[f"{p}.{name}.bias"] = mod.bias
-    sd["label_embs_concat"] = torch.zeros(4, D)  # hubert marker
+    if hubert_marker:
+        sd["label_embs_concat"] = torch.zeros(4, D)  # hubert marker
     return {k: v.detach() for k, v in sd.items()}
 
 
-def test_teacher_forward_matches_torch_oracle(tmp_path):
+@pytest.mark.parametrize(
+    "model_type,extractor_mode,layer_norm_first",
+    [
+        ("hubert", "default", False),  # HuBERT-Base shape (the release teacher)
+        ("wav2vec2", "default", False),  # wav2vec2-Base: conv-formula mask
+        ("hubert", "layer_norm", True),  # Large-style: pre-LN + per-block LN
+    ],
+)
+def test_teacher_forward_matches_torch_oracle(
+    tmp_path, model_type, extractor_mode, layer_norm_first
+):
     from fithubert_tpu.export.fairseq_import import load_fairseq_teacher
 
     torch.manual_seed(0)
-    oracle = TorchOracle().eval()
-    path = str(tmp_path / "tiny_hubert.pt")
-    torch.save({"model": _fairseq_state_dict(oracle), "cfg": None,
+    oracle = TorchOracle(model_type, extractor_mode, layer_norm_first).eval()
+    path = str(tmp_path / "tiny_teacher.pt")
+    torch.save({"model": _fairseq_state_dict(oracle, model_type == "hubert"),
+                "cfg": None,
                 "args": __import__("argparse").Namespace(
                     conv_feature_layers=str([tuple(t) for t in CONV]),
                     encoder_attention_heads=HEADS, activation_fn="gelu",
-                    layer_norm_first=False, extractor_mode="default")},
+                    layer_norm_first=layer_norm_first,
+                    extractor_mode=extractor_mode)},
                path)
     geom, variables = load_fairseq_teacher(path)
     assert geom.encoder_attention_heads == HEADS
+    assert geom.model_type == model_type
+    assert geom.extractor_mode == extractor_mode
     model = TeacherModel(geometry=geom)
 
     rng = np.random.default_rng(0)
@@ -185,3 +246,29 @@ def test_teacher_forward_matches_torch_oracle(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out.x)[fm], hiddens_t[-1].numpy()[fm], atol=5e-5
     )
+
+
+def test_hubert_vs_wav2vec2_mask_differs_at_boundary():
+    """The two fairseq frame-mask recomputes genuinely differ (off-by-one at
+    the valid/padded boundary) — guard that our dispatch keeps them apart."""
+    import dataclasses
+
+    from fithubert_tpu.models import TeacherGeometry
+
+    geoms = {}
+    for mt in ("hubert", "wav2vec2"):
+        g = TeacherGeometry(
+            model_type=mt, conv_feature_layers=CONV, encoder_layers=1,
+            encoder_embed_dim=D, encoder_ffn_embed_dim=FFN,
+            encoder_attention_heads=HEADS, conv_pos=POS_K, conv_pos_groups=POS_G,
+            use_pallas_attention=False, use_pallas_conv=False,
+        )
+        model = TeacherModel(geometry=g)
+        wav = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 4000)), jnp.float32
+        )
+        pad = jnp.asarray(np.arange(4000)[None, :] >= 2500)
+        variables = model.init(jax.random.PRNGKey(0), wav, pad)
+        geoms[mt] = np.asarray(model.apply(variables, wav, pad).padding_mask)
+    # hubert chunking admits one more boundary frame than the conv formula
+    assert (~geoms["hubert"]).sum() == (~geoms["wav2vec2"]).sum() + 1
