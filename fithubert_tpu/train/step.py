@@ -194,6 +194,25 @@ class Distiller:
             )
 
         def _train_step_body(state: TrainState, teacher_params, batch, rand_layers, rng):
+            if (
+                cfg.train.fuse_grad_accum
+                and not self._has_batch_stats
+                and batch["x"].shape[0] > 1
+            ):
+                # fold the accumulation axis into the batch: one big
+                # microbatch instead of a scan of small ones. Identical math
+                # for uniform shapes (losses are means over rows; grads are
+                # linear), and the MXU gets 4x-taller matmul tiles. The
+                # sharded batch axis is moved outermost first so the merge
+                # stays shard-local under a mesh (no cross-device interleave).
+                a, b = batch["x"].shape[:2]
+                batch = jax.tree.map(
+                    lambda x: jnp.swapaxes(x, 0, 1).reshape(
+                        1, a * b, *x.shape[2:]
+                    ),
+                    batch,
+                )
+
             def loss_fn(params, extra_vars, wav, mask, labels, label_paddings, rngs):
                 loss_out, new_vars = self._forward_loss(
                     params, extra_vars, teacher_params, wav, mask,

@@ -173,3 +173,32 @@ def test_fully_padded_row_keeps_loss_finite():
                        jnp.zeros((0,), jnp.int32), rng)
     assert np.isfinite(float(logs["loss"]))
     assert np.isfinite(float(logs["grad_norm"]))
+
+
+def test_fused_grad_accum_matches_scan():
+    """train.fuse_grad_accum folds the accumulation scan into one (A*B)
+    microbatch — must match the sequential scan (identical math for uniform
+    shapes; only float association differs)."""
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng)
+    rand = jnp.zeros((1,), jnp.int32)
+    logs_by_mode = {}
+    for fuse in (False, True):
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, fuse_grad_accum=fuse)
+        )
+        d = Distiller(cfg, mesh=make_mesh(1), num_training_steps=100,
+                      teacher_geometry=tiny_teacher_geometry())
+        tp = d.init_teacher_params(rng, batch["x"][0])
+        state = d.init_state(jax.random.PRNGKey(1), batch["x"][0])
+        _state, logs = d.make_train_step()(state, tp, batch, rand,
+                                           jax.random.PRNGKey(2))
+        logs_by_mode[fuse] = {k: float(v) for k, v in logs.items()}
+    np.testing.assert_allclose(
+        logs_by_mode[True]["loss"], logs_by_mode[False]["loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        logs_by_mode[True]["grad_norm"], logs_by_mode[False]["grad_norm"],
+        rtol=1e-4,
+    )
