@@ -38,4 +38,9 @@ def build_optimizer(cfg: OptimizerConfig, num_training_steps: int):
         eps=float(cfg.eps),
         weight_decay=float(cfg.weight_decay),
     )
+    # NOTE: optax.flatten was tried here (one fused update pass instead of
+    # ~300 per-leaf loops; 8.9 -> 5.8 ms standalone on v5e) but is net
+    # NEGATIVE inside the full jitted train step — the ravel/concat copies
+    # of the 90 MB grad tree cost more than the fusion saves (10.76 ->
+    # 10.48 steps/s end to end). Keep the plain tree update.
     return tx, schedule

@@ -84,11 +84,11 @@ def test_loss_decreases_over_steps():
     rand = jnp.zeros((1,), jnp.int32)
 
     losses = []
-    for i in range(25):
+    for i in range(12):
         state, logs = step(state, tp, batch, rand, jax.random.PRNGKey(2))
         losses.append(float(logs["loss"]))
-    assert losses[-1] < losses[0] * 0.9, losses
-    assert int(state.step) == 25
+    assert losses[-1] < losses[0] * 0.95, losses
+    assert int(state.step) == 12
     assert np.isfinite(losses).all()
 
 
