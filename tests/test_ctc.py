@@ -117,6 +117,7 @@ def _ctc_config():
     )
 
 
+@pytest.mark.slow
 def test_ctc_train_step_gt_and_pseudo():
     from fithubert_tpu.data import make_dataset
     from fithubert_tpu.parallel import make_mesh

@@ -107,6 +107,7 @@ data:
 """
 
 
+@pytest.mark.slow
 def test_train_py_over_real_corpus_tree(tmp_path):
     libri = tmp_path / "LibriSpeech"
     rng = np.random.default_rng(0)

@@ -24,6 +24,7 @@ def _smoke_cfg(out_dir, max_steps, num_epochs=8):
     )
 
 
+@pytest.mark.slow
 def test_resume_continues_from_checkpoint(tmp_path):
     from fithubert_tpu.train.loop import run_training
 
@@ -52,6 +53,7 @@ def test_test_only_mode(tmp_path):
     assert "test_loss" in r
 
 
+@pytest.mark.slow
 def test_preemption_checkpoint(tmp_path):
     """SIGTERM mid-training must save a resumable checkpoint and stop."""
     import os
