@@ -278,6 +278,9 @@ def bench_train_step(platform, quick, sync):
 def main():
     import jax
 
+    from fithubert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     quick = "--quick" in sys.argv
     sync = _sync_factory()

@@ -222,14 +222,31 @@ def run_training(
     prof_stop = prof_start + cfg.train.profile_steps
     profiler_ctx = None
 
+    def _put(batch):
+        return {
+            k: jax.device_put(jnp.asarray(v), batch_sh)
+            for k, v in batch.items()
+            if not k.startswith("_")
+        }
+
+    def _prefetched(batches, depth=2):
+        """Device-put `depth` batches ahead: device_put dispatches the H2D
+        copy asynchronously, so the next batch streams in while the current
+        step computes (the reference leans on DataLoader workers for the
+        host half only; the device copy there is synchronous per step)."""
+        import collections
+
+        q = collections.deque()
+        for batch in batches:
+            q.append((batch, _put(batch)))
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     for epoch in range(start_epoch, cfg.train.num_epochs):
         rand = _sample_rand()
-        for batch in train_data.epoch(epoch):
-            b = {
-                k: jax.device_put(jnp.asarray(v), batch_sh)
-                for k, v in batch.items()
-                if not k.startswith("_")
-            }
+        for batch, b in _prefetched(train_data.epoch(epoch)):
             if cfg.train.profile_steps > 0 and global_step == prof_start:
                 profiler_ctx = trace(os.path.join(out_dir, "trace"))
                 profiler_ctx.__enter__()

@@ -1,0 +1,35 @@
+"""Persistent XLA compilation cache setup.
+
+One compile of the fused 12+12-layer train step costs ~75-90 s through the
+remote TPU compile endpoint (and minutes on the 1-core CPU); the cache makes
+every repeat run (resumes, benches, repeated smoke tests) skip straight to
+execution. jax only caches the backend compile — tracing still runs — but
+that is the cheap half off-CPU. Keyed by HLO hash: safe across code edits.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str = "") -> str:
+    """Point jax at a persistent compilation cache directory and return it.
+
+    Default location: `<repo>/.jax_cache` (gitignored, shared with the test
+    suite), overridable via $FITHUBERT_CACHE_DIR or the argument. Must be
+    called before the first compilation; later calls are harmless.
+    """
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("FITHUBERT_CACHE_DIR")
+        or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

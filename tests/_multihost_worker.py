@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from fithubert_tpu.parallel.distributed import maybe_initialize
+from fithubert_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main():

@@ -17,13 +17,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is dominated by CPU jit compiles of
 # the same train/eval steps (this container has ONE core); warm runs cut the
 # wall time several-fold. Keyed by HLO hash — safe across code edits.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from fithubert_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 import numpy as np
 import pytest

@@ -44,3 +44,34 @@ def test_fithubert_yaml_one_step():
     assert np.isfinite(float(logs["loss"]))
     # reference logging keys: rand_l{i} for each sampled layer + l11
     assert "l11" in logs and "rand_l0" in logs and "rand_l10" in logs
+
+
+@pytest.mark.parametrize(
+    "name", ["fithubert", "fitwav2vec2", "ex", "smoke", "smoke_ctc"]
+)
+def test_shipped_config_constructs(name):
+    """Every shipped YAML parses and its student traces (eval_shape only —
+    no compile, so this stays in the fast tier)."""
+    from fithubert_tpu.models import StudentModel
+
+    cfg = load_yaml_config(f"configs/{name}.yaml")
+    model = StudentModel(cfg=cfg.distiller)
+    wav = jnp.zeros((1, 6400), jnp.float32)
+    mask = jnp.zeros((1, 6400), bool)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), wav, mask
+    )
+    assert "params" in shapes
+
+
+@pytest.mark.parametrize("name", ["fithubert", "fitwav2vec2", "ex"])
+def test_reference_yaml_parses_unchanged(name):
+    """The reference's own config files load through our schema verbatim
+    (reference data/conf/*.yaml — the compatibility contract)."""
+    import os
+
+    path = f"/root/reference/data/conf/{name}.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    cfg = load_yaml_config(path)
+    assert cfg.distiller.encoder_layers > 0

@@ -32,6 +32,10 @@ def main():
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from fithubert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from fithubert_tpu.config import load_yaml_config
     from fithubert_tpu.train.loop import run_training
 
