@@ -91,10 +91,12 @@ def _conv_stack_flops(spec, t_in: int, b: int, c_in: int = 1):
     return fl, t
 
 
-def _encoder_flops(b, t, c, ffn, layers, heads, pos_k, pos_g):
+def _encoder_flops(b, t, c, ffn, layers, heads, pos_k, pos_g, t_pos=None):
     """Matmul FLOPs of one forward pass of a (pos_conv + N transformer
-    layers) stack: qkv/out projections, T x T attention, FFN."""
-    pos = 2 * b * t * pos_k * c * (c // pos_g)
+    layers) stack: qkv/out projections, T x T attention, FFN. The pos conv
+    runs at the ENCODER INPUT length t_pos (pre-TR — the TR layer reduces T
+    inside the slot loop, after pos_conv)."""
+    pos = 2 * b * (t_pos if t_pos is not None else t) * pos_k * c * (c // pos_g)
     per_layer = (
         4 * (2 * b * t * c * c)  # q, k, v, out projections
         + 2 * (2 * b * t * t * c)  # QK^T and PV
@@ -122,7 +124,7 @@ def _kd_step_flops(cfg, teacher_geom, b, t_wav, accum):
     s_fl += _encoder_flops(
         b, t_enc, d.encoder_embed_dim, d.encoder_ffn_embed_dim,
         d.encoder_layers, d.encoder_attention_heads, d.conv_pos,
-        d.conv_pos_groups,
+        d.conv_pos_groups, t_pos=s_frames,
     )
     if d.enable_tr_layer:  # TR conv + upsampler ConvTranspose, k = s = factor
         f = d.tr_reduce_factor

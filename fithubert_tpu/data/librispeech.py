@@ -50,10 +50,14 @@ def flac_num_samples(path: str) -> int:
 
 
 def scan_split(libri_root: str, split: str) -> List[Tuple[str, int]]:
-    """Walk `<libri_root>/<split>` collecting (relative path, num samples)."""
+    """Walk `<libri_root>/<split>` collecting (relative path, num samples).
+    Traversal is fully sorted so every host derives IDENTICAL row order
+    (the downstream length sort is stable; ties must not differ per host,
+    or the host_id::num_hosts bucket stripes would overlap)."""
     rows: List[Tuple[str, int]] = []
     split_dir = os.path.join(libri_root, split)
-    for dirpath, _dirs, files in os.walk(split_dir):
+    for dirpath, dirs, files in os.walk(split_dir):
+        dirs.sort()
         for fn in sorted(files):
             if not fn.endswith((".flac", ".wav")):
                 continue
@@ -76,11 +80,16 @@ def generate_bucket_csv(libri_root: str, split: str, out_dir: str) -> str:
         )
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{split}.csv")
-    with open(out_path, "w", newline="") as f:
+    # atomic write: concurrent hosts racing the auto-generation must only
+    # ever see an absent or a COMPLETE csv (both writers produce identical
+    # content thanks to the sorted scan, so last-rename-wins is harmless)
+    tmp_path = f"{out_path}.tmp.{os.getpid()}"
+    with open(tmp_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["file_path", "length"])
         w.writeheader()
         for p, n in rows:
             w.writerow({"file_path": p, "length": n})
+    os.replace(tmp_path, out_path)
     return out_path
 
 

@@ -176,13 +176,16 @@ class TeacherModel(nn.Module):
         ctc_logits = None
         # The reference wrapper's 'x' is the LAST HOOK output, not the
         # encoder's final return (utils/utils.py:96): for layer_norm_first
-        # teachers this skips the final encoder LayerNorm — reproduced.
+        # teachers this skips the final encoder LayerNorm — reproduced for
+        # the DISTILLATION targets. The CTC head is different: fairseq's
+        # Wav2VecCtc projects the encoder's true output (post final norm),
+        # so ctc_proj stays on enc.x.
         x = enc.layer_results[-1][0] if enc.layer_results else enc.x
 
         if g.model_type == "wav2vec_ctc" and g.vocab_size > 0:
             ctc_logits = nn.Dense(
                 g.vocab_size, dtype=dtype, param_dtype=jnp.float32, name="ctc_proj"
-            )(x)
+            )(enc.x)
 
         return TeacherOutput(
             x=x,

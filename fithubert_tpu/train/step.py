@@ -194,11 +194,18 @@ class Distiller:
             )
 
         def _train_step_body(state: TrainState, teacher_params, batch, rand_layers, rng):
-            if (
+            # The fold is exact only when every per-microbatch reduction has a
+            # data-INDEPENDENT denominator: corrected masked means
+            # (loss.masked_reduction) and the attn-loss inf/nan scrub divide
+            # by per-microbatch valid counts, where mean-of-means != merged
+            # mean — keep the sequential scan there.
+            fuse_ok = (
                 cfg.train.fuse_grad_accum
                 and not self._has_batch_stats
-                and batch["x"].shape[0] > 1
-            ):
+                and not cfg.loss.masked_reduction
+                and cfg.loss.attn_loss_weight == 0
+            )
+            if fuse_ok and batch["x"].shape[0] > 1:
                 # fold the accumulation axis into the batch: one big
                 # microbatch instead of a scan of small ones. Identical math
                 # for uniform shapes (losses are means over rows; grads are

@@ -175,16 +175,20 @@ def test_fully_padded_row_keeps_loss_finite():
     assert np.isfinite(float(logs["grad_norm"]))
 
 
-def test_fused_grad_accum_matches_scan():
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_grad_accum_matches_scan(masked):
     """train.fuse_grad_accum folds the accumulation scan into one (A*B)
     microbatch — must match the sequential scan (identical math for uniform
-    shapes; only float association differs)."""
+    shapes; only float association differs). With loss.masked_reduction the
+    fold would NOT be exact (per-microbatch masked-mean denominators), so
+    the gate must keep the scan — both modes still agree because the flag
+    is then ignored."""
     rng = jax.random.PRNGKey(0)
     batch = make_batch(rng)
     rand = jnp.zeros((1,), jnp.int32)
     logs_by_mode = {}
     for fuse in (False, True):
-        cfg = tiny_cfg()
+        cfg = tiny_cfg(masked_reduction=masked)
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, fuse_grad_accum=fuse)
         )
