@@ -71,13 +71,10 @@ class MultiHeadSelfAttention(nn.Module):
         v = v.reshape(b, t, h, head_dim)
 
         # pallas handles training-time prob-dropout in-kernel (PRNG seeded per
-        # block), so the gate only excludes the taps path; below the kernel's
-        # T threshold flash_attention dispatches to XLA internally anyway
-        use_pallas = (
-            self.use_pallas
-            and not need_taps
-            and (self.dropout == 0.0 or deterministic or t >= 4096)
-        )
+        # block), so the gate only excludes the taps path; flash_attention's
+        # own dispatch sends everything whose T x T logits fit HBM to XLA's
+        # (faster) fused attention anyway
+        use_pallas = self.use_pallas and not need_taps
         if use_pallas:
             from fithubert_tpu.ops.pallas.flash_attention import flash_attention
 

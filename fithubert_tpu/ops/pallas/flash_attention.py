@@ -382,13 +382,16 @@ def flash_attention(
     if (not on_tpu and not interpret) or t < 128:
         return _xla_with_dropout(q, k, v, key_padding_mask,
                                  dropout_p, dropout_seed)
-    # Dispatch threshold (measured on v5e): XLA's fused attention is
-    # bandwidth-floor-fast up to a few thousand frames (4.9 ms at T=2048,
-    # B=8, H=12 — the T x T logits easily fit HBM at FitHuBERT scale, max
-    # ~1756 frames on LibriSpeech). The flash kernel is the long-context
-    # path where the logits tensor stops fitting; below the threshold XLA
-    # wins on wall clock, so use it.
-    if not interpret and t < 4096:
+    # Dispatch rule (measured on v5e, bf16, d=40): XLA's fused attention
+    # BEATS this kernel on wall clock at every size that fits — 0.6x kernel
+    # time at T=4096..16384 — because d=40 pads to 128 lanes in the kernel's
+    # MXU tiles while XLA's fusion runs at the T x T bandwidth floor. The
+    # kernel's win is CAPACITY: XLA OOMs at T=32768 (25 GB of logits) where
+    # the kernel streams in VMEM (199 ms). So: XLA while the materialized
+    # T x T logits (+ backward copies, ~3x) stay well inside HBM, kernel
+    # beyond. FitHuBERT never exceeds ~1756 frames, far below the cutover.
+    logits_bytes = 2 * b * h * t * t  # bf16 T x T materialization
+    if not interpret and logits_bytes < (2 << 30):
         return _xla_with_dropout(q, k, v, key_padding_mask,
                                  dropout_p, dropout_seed)
 
