@@ -49,8 +49,15 @@ class SplitLinear(nn.Module):
         )
         dtype = self.dtype or x.dtype
         xs = x.reshape(b, t, self.in_split, self.in_dim)
+        # jax's CPU thunk runtime cannot execute BATCHED bf16 x bf16 = f32
+        # dots (n is a batch dim here); off-TPU compute the einsum in fp32
+        in_dtype = (
+            jnp.float32
+            if jax.default_backend() == "cpu" and jnp.dtype(dtype) != jnp.float32
+            else dtype
+        )
         out = jnp.einsum(
-            "btni,nio->btno", xs.astype(dtype), weight.astype(dtype),
+            "btni,nio->btno", xs.astype(in_dtype), weight.astype(in_dtype),
             preferred_element_type=jnp.float32,
         )
         out = out + bias

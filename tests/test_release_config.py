@@ -75,3 +75,49 @@ def test_reference_yaml_parses_unchanged(name):
         pytest.skip("reference tree not present")
     cfg = load_yaml_config(path)
     assert cfg.distiller.encoder_layers > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["ex", "fitwav2vec2"])
+def test_other_release_configs_one_step(name):
+    """One fused train step for the other two shipped release configs:
+    ex.yaml (DistilHuBERT-style SplitLinear head + teacher init + L1+cosine)
+    and fitwav2vec2.yaml (wav2vec2 teacher -> conv-formula frame mask)."""
+    import dataclasses
+
+    import numpy as np_
+
+    from fithubert_tpu.models import TeacherGeometry
+    from fithubert_tpu.models.surgery import init_student_from_teacher
+
+    cfg = load_yaml_config(f"configs/{name}.yaml")
+    teacher_geom = TeacherGeometry.from_teacher_config(cfg.teacher)
+    if name == "fitwav2vec2":
+        assert cfg.teacher.model_type == "wav2vec2"
+        assert teacher_geom.model_type == "wav2vec2"
+
+    mesh = make_mesh(1)
+    distiller = Distiller(cfg, mesh=mesh, num_training_steps=10,
+                          teacher_geometry=teacher_geom)
+
+    accum = cfg.train.accumulate_grad_batches
+    b, t_wav = 2, 8000
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((accum, b, t_wav)), jnp.float32)
+    mask = jnp.zeros((accum, b, t_wav), bool).at[:, -1, t_wav // 2:].set(True)
+
+    key = jax.random.PRNGKey(0)
+    teacher_params = distiller.init_teacher_params(key, wav[0])
+    state = distiller.init_state(jax.random.fold_in(key, 1), wav[0])
+    if cfg.distiller.init_conv_layers or cfg.distiller.init_encoder_layers:
+        params = init_student_from_teacher(
+            state.params, teacher_params["params"], cfg.distiller,
+        )
+        state = state.replace(params=params)
+
+    rand = (jnp.arange(cfg.loss.distil_random_layer, dtype=jnp.int32)
+            if cfg.loss.distil_random_layer > 0 else jnp.zeros((0,), jnp.int32))
+    step = distiller.make_train_step()
+    state, logs = step(state, teacher_params,
+                       {"x": wav, "padding_mask": mask}, rand, key)
+    assert np_.isfinite(float(logs["loss"]))
