@@ -274,3 +274,53 @@ def test_converted_teacher_roundtrip(tmp_path):
     assert geom2 == geom
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_close(variables["params"], variables2["params"])
+
+
+def test_extract_features_cli(tmp_path):
+    """scripts/extract_features.py: export pair + flacs -> per-utterance .npy
+    at the 320-sample downsample rate."""
+    import subprocess
+    import sys
+
+    from fithubert_tpu.train.checkpoint import export_student
+    from tests.flac_writer import write_flac
+
+    cfg = ExperimentConfig(distiller=STUDENT_CFG)
+    model = StudentModel(cfg=cfg.distiller)
+    wav = jnp.zeros((1, 4000))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, wav, jnp.zeros((1, 4000), bool)
+    )["params"]
+    yaml_path, weights_path = export_student(cfg, params, str(tmp_path), tag="student")
+
+    flacs = []
+    for i, n in enumerate((4000, 3200)):
+        sig = np.round(2000 * np.sin(np.arange(n) * 0.05)).astype(np.int64)
+        p = str(tmp_path / f"utt{i}.flac")
+        write_flac(p, [sig], kind="verbatim")
+        flacs.append(p)
+
+    out_dir = tmp_path / "feats"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "scripts/extract_features.py",
+         "--ckpt", weights_path, "--config", yaml_path,
+         "--inputs", *flacs, "--out", str(out_dir), "--platform", "cpu"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    f0 = np.load(out_dir / "utt0.npy")
+    f1 = np.load(out_dir / "utt1.npy")
+    # ground truth: the expert API's own frame mask for the same audio
+    from fithubert_tpu.data import audio
+    from fithubert_tpu.export.expert import UpstreamExpert
+
+    expert = UpstreamExpert(weights_path, yaml_path)
+    ref = expert([audio.decode(flacs[0]), audio.decode(flacs[1])])
+    n0 = int((~ref["padding_mask"][0]).sum())
+    n1 = int((~ref["padding_mask"][1]).sum())
+    assert f0.shape == (n0, STUDENT_CFG.pred_head_final_dim), (f0.shape, n0)
+    assert f1.shape[0] == n1 and n1 < n0
+    np.testing.assert_allclose(f0, ref["last_hidden_state"][0][:n0], atol=1e-5)
+    assert np.isfinite(f0).all()
