@@ -206,3 +206,58 @@ def test_fused_grad_accum_matches_scan(masked):
         logs_by_mode[True]["grad_norm"], logs_by_mode[False]["grad_norm"],
         rtol=1e-4,
     )
+
+
+def test_data_parallel_matches_single_device_numerically():
+    """The 8-way DP step must compute the SAME loss/grad-norm as the same
+    batch on a 1-device mesh — sharding is an implementation detail, not a
+    semantics change (XLA's ICI all-reduce == the unsharded sum up to float
+    association)."""
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng)
+    rand = jnp.zeros((1,), jnp.int32)
+    results = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        d = Distiller(tiny_cfg(), mesh=mesh, num_training_steps=100,
+                      teacher_geometry=tiny_teacher_geometry())
+        tp = d.shard_teacher(d.init_teacher_params(rng, batch["x"][0]))
+        state = d.shard_state(d.init_state(jax.random.PRNGKey(1), batch["x"][0]))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(None, "data"))
+        b = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        _state, logs = d.make_train_step()(state, tp, b, rand, rng)
+        results[n] = {k: float(v) for k, v in logs.items()}
+    np.testing.assert_allclose(results[1]["loss"], results[8]["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        results[1]["grad_norm"], results[8]["grad_norm"], rtol=1e-4
+    )
+
+
+def test_conformer_student_on_mesh():
+    """Conformer student (BatchNorm conv module) under the 8-way DP mesh:
+    batch stats reduce over the GLOBAL batch (GSPMD emits the cross-shard
+    mean — sync-BN semantics for free) and the step stays finite."""
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        distiller=dataclasses.replace(
+            cfg.distiller, layer_type="conformer", pos_enc_type="rel_pos",
+            enable_tr_layer=False,
+        ),
+    )
+    mesh = make_mesh()
+    d = Distiller(cfg, mesh=mesh, num_training_steps=100,
+                  teacher_geometry=tiny_teacher_geometry())
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng)
+    tp = d.shard_teacher(d.init_teacher_params(rng, batch["x"][0]))
+    state = d.shard_state(d.init_state(jax.random.PRNGKey(1), batch["x"][0]))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data"))
+    b = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    state, logs = d.make_train_step()(state, tp, b, jnp.zeros((1,), jnp.int32), rng)
+    assert np.isfinite(float(logs["loss"]))
+    assert "batch_stats" in state.extra_vars
