@@ -9,8 +9,8 @@ TPU deltas (SURVEY.md §5.7): padded lengths are quantized UP to multiples of
 reference's exact-length padding would trigger thousands of recompiles);
 grad-accumulation microbatches are grouped into one (A, B, T) step batch
 padded to the group max; decode happens on a host thread pool with
-prefetching. Per-host sharding for multi-host meshes is a simple stride over
-buckets.
+prefetching. Multi-host sharding strides ROWS within globally-identical
+buckets so every host agrees on the padded (global) batch shape.
 """
 
 from __future__ import annotations
@@ -188,7 +188,20 @@ class BucketedLibriSpeech:
         if cfg.max_wav_length > 0:
             rows = [(p, min(l, cfg.max_wav_length)) for (p, l) in rows]
         buckets = make_buckets(rows, batch_size)
-        self.buckets = buckets[host_id::num_hosts]
+        # Multi-host sharding strides ROWS WITHIN each bucket, not buckets:
+        # every host derives the identical global bucket list (deterministic
+        # CSV/scan order), so t_pad/u_pad — the GLOBAL batch shape — agree on
+        # all hosts, and each host decodes only its batch_size/num_hosts row
+        # stripe. (Bucket-striding would give hosts different padded shapes,
+        # which a global-mesh array cannot have.)
+        assert batch_size % num_hosts == 0, (batch_size, num_hosts)
+        assert pad_batch_to_full or num_hosts == 1, (
+            "multi-host needs pad_batch_to_full: partial buckets would give "
+            "hosts different local row counts"
+        )
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.buckets = buckets
         self.num_samples = sum(len(b) for b in self.buckets)
         self._trans_cache: Dict[str, Dict[str, str]] = {}
         self._dictionary = None
@@ -206,8 +219,16 @@ class BucketedLibriSpeech:
         return len(self.buckets) // self.accum
 
     def _load_bucket(self, bucket, t_pad: int, u_pad: int = 0):
+        # this host's row stripe of the (conceptually batch_size-padded)
+        # global bucket; fake all-padding rows land on whichever host owns
+        # their global position
+        rows = list(bucket) + [None] * (self.batch_size - len(bucket))
+        if not self.pad_batch_to_full:
+            rows = list(bucket)
+        local = rows[self.host_id :: self.num_hosts]
+        bucket = [r for r in local if r is not None]
         b = len(bucket)
-        out_b = self.batch_size if self.pad_batch_to_full else b
+        out_b = len(local) if self.pad_batch_to_full else b
         x = np.zeros((out_b, t_pad), dtype=np.float32)
         mask = np.ones((out_b, t_pad), dtype=bool)
         labels = label_pads = None
@@ -232,7 +253,14 @@ class BucketedLibriSpeech:
                 label_pads[i, : len(ids)] = 0.0
         return x, mask, labels, label_pads, transcripts
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def first_batch(self) -> Dict[str, np.ndarray]:
+        """One step batch for shape/init probing, built inline — epoch()
+        would spin up the prefetch pool and decode prefetch+1 full groups
+        just to be abandoned after the first yield."""
+        return next(iter(self.epoch(0, _prefetch=0)))
+
+    def epoch(self, epoch_idx: int = 0, _prefetch: Optional[int] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield step batches; buckets shuffled per epoch (train.py:425 shuffle=True)."""
         order = np.arange(len(self.buckets))
         if self.shuffle:
@@ -265,10 +293,11 @@ class BucketedLibriSpeech:
                 batch["_transcripts"] = [l[4] for l in loaded]  # host-only
             return batch
 
+        n_prefetch = self.cfg.prefetch if _prefetch is None else _prefetch
         with cf.ThreadPoolExecutor(max_workers=max(1, self.cfg.num_workers)) as ex:
             pending: "queue.Queue" = queue.Queue()
             it = iter(groups)
-            for _ in range(self.cfg.prefetch + 1):
+            for _ in range(n_prefetch + 1):
                 g = next(it, None)
                 if g is not None:
                     pending.put(ex.submit(build, g))
@@ -281,17 +310,25 @@ class BucketedLibriSpeech:
 
 
 class SyntheticDataset:
-    """Corpus-free batches (benches/smoke tests): harmonic sweeps + noise."""
+    """Corpus-free batches (benches/smoke tests): harmonic sweeps + noise.
 
-    def __init__(self, cfg: DataConfig, batch_size: int, accum: int = 1, seed: int = 0):
+    batch_size is GLOBAL; each host generates its batch_size/num_hosts row
+    stripe (seed folded with host_id so rows differ across hosts)."""
+
+    def __init__(self, cfg: DataConfig, batch_size: int, accum: int = 1,
+                 seed: int = 0, host_id: int = 0, num_hosts: int = 1):
+        assert batch_size % num_hosts == 0, (batch_size, num_hosts)
         self.cfg = cfg
-        self.batch_size = batch_size
+        self.batch_size = batch_size // num_hosts
         self.accum = max(1, accum)
-        self.seed = seed
+        self.seed = seed + 100003 * host_id
         self.num_samples = cfg.synthetic_num_batches * batch_size
 
     def __len__(self) -> int:
         return max(1, self.cfg.synthetic_num_batches // self.accum)
+
+    def first_batch(self) -> Dict[str, np.ndarray]:
+        return next(iter(self.epoch(0)))
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed + epoch_idx)
@@ -339,7 +376,7 @@ def make_dataset(
     shuffle: bool = True, seed: int = 0, host_id: int = 0, num_hosts: int = 1,
 ):
     if cfg.synthetic:
-        return SyntheticDataset(cfg, batch_size, accum, seed)
+        return SyntheticDataset(cfg, batch_size, accum, seed, host_id, num_hosts)
     return BucketedLibriSpeech(
         cfg, sets, batch_size, accum, shuffle, seed, host_id, num_hosts
     )

@@ -27,8 +27,7 @@ import numpy as np
 from fithubert_tpu.config import ExperimentConfig, load_yaml_config
 
 
-def _quantize_len(n: int, quantum: int) -> int:
-    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+from fithubert_tpu.data.librispeech import quantize_length as _quantize_len
 
 
 class UpstreamExpert:

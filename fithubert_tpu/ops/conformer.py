@@ -66,7 +66,11 @@ class RelPositionAttention(nn.Module):
         q = dense("q_proj")(x).reshape(b, t, h, dk)
         k = dense("k_proj")(x).reshape(b, t, h, dk)
         v = dense("v_proj")(x).reshape(b, t, h, dk)
-        p = dense("linear_pos")(pos_emb).reshape(1, -1, h, dk)  # (1, 2T-1, H, dk)
+        # espnet RelPositionMultiHeadedAttention.linear_pos is bias-free
+        p = nn.Dense(
+            self.embed_dim, dtype=dtype, param_dtype=jnp.float32,
+            use_bias=False, name="linear_pos",
+        )(pos_emb).reshape(1, -1, h, dk)  # (1, 2T-1, H, dk)
 
         pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
@@ -78,10 +82,15 @@ class RelPositionAttention(nn.Module):
         bd = _rel_shift(bd)
         logits = (ac + bd).astype(jnp.float32) / math.sqrt(dk)
         if key_padding_mask is not None:
-            logits = jnp.where(
-                key_padding_mask[:, None, None, :], -jnp.inf, logits
-            )
+            # -inf only when the taps need true fairseq logits (the attn loss
+            # scrubs them); otherwise a FINITE value so a FULLY padded row
+            # (fabricated by pad_batch_to_full) softmaxes to uniform instead
+            # of NaN-poisoning the loss — same guard as ops/attention.py
+            neg = -jnp.inf if need_taps else jnp.float32(-1e30)
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
         probs = jax.nn.softmax(logits, axis=-1)
+        if need_taps:
+            probs = jnp.where(jnp.isnan(probs), 0.0, probs)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", probs.astype(dtype), v,
@@ -136,8 +145,12 @@ class RotaryAttention(nn.Module):
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ).astype(jnp.float32) / math.sqrt(dk)
         if key_padding_mask is not None:
-            logits = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, logits)
+            # finite mask unless taps need -inf: see RelPositionAttention
+            neg = -jnp.inf if need_taps else jnp.float32(-1e30)
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
         probs = jax.nn.softmax(logits, axis=-1)
+        if need_taps:
+            probs = jnp.where(jnp.isnan(probs), 0.0, probs)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", probs.astype(dtype), v,
@@ -288,8 +301,14 @@ class ConformerEncoder(nn.Module):
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
         layer_results = []
+        layer_cls = ConformerEncoderLayer
+        if cfg.checkpoint_activations:
+            # rematerialize in backward, same flag handling as
+            # TransformerEncoder (reference wraps layers in fairseq
+            # checkpoint_wrapper, modules/module.py:144-145)
+            layer_cls = nn.remat(layer_cls, static_argnums=(4, 5))
         for i in range(cfg.encoder_layers):
-            x, taps, layer_result = ConformerEncoderLayer(
+            y, taps, layer_result = layer_cls(
                 embed_dim=cfg.encoder_embed_dim,
                 ffn_dim=cfg.encoder_ffn_embed_dim,
                 num_heads=cfg.encoder_attention_heads,
@@ -299,6 +318,14 @@ class ConformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, padding_mask, pos_emb, deterministic, need_taps)
+            if cfg.encoder_layerdrop > 0 and not deterministic:
+                # jit-safe stochastic identity gate, like TransformerEncoder
+                keep = (
+                    jax.random.uniform(self.make_rng("layerdrop"), ())
+                    > cfg.encoder_layerdrop
+                )
+                y = jnp.where(keep, y, x)
+            x = y
             layer_results.append((x, taps, layer_result))
             if tgt_slot is not None and i >= tgt_slot:
                 break

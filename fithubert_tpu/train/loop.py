@@ -95,21 +95,21 @@ def run_training(
     n_data = mesh.shape["data"]
     batch_sh = NamedSharding(mesh, P(None, "data"))  # (A, B, T): shard B
 
-    # each host feeds its local shard of the global batch; bucket lists are
-    # strided per host (SURVEY.md §5.8)
-    local_batch = cfg.train.batch_size * n_data
+    # datasets take the GLOBAL batch (batch_size rows per device on the
+    # 'data' axis) and stripe rows per host internally (SURVEY.md §5.8)
+    global_batch = cfg.train.batch_size * n_data
     train_data = make_dataset(
-        cfg.data, cfg.data.train_set, local_batch,
+        cfg.data, cfg.data.train_set, global_batch,
         accum=cfg.train.accumulate_grad_batches, shuffle=True, seed=cfg.train.seed,
         host_id=host_id, num_hosts=num_hosts,
     )
     eval_data = make_dataset(
-        cfg.data, cfg.data.dev_set, local_batch,
+        cfg.data, cfg.data.dev_set, global_batch,
         accum=1, shuffle=False, seed=cfg.train.seed,
         host_id=host_id, num_hosts=num_hosts,
     )
     test_data = make_dataset(
-        cfg.data, cfg.data.test_set, local_batch,
+        cfg.data, cfg.data.test_set, global_batch,
         accum=1, shuffle=False, seed=cfg.train.seed,
         host_id=host_id, num_hosts=num_hosts,
     )
@@ -123,7 +123,7 @@ def run_training(
     tg = distiller.teacher_geometry
 
     rng = jax.random.PRNGKey(cfg.train.seed)
-    sample = next(iter(train_data.epoch(0)))
+    sample = train_data.first_batch()
     sample_wav = jnp.asarray(sample["x"][0])
 
     if teacher_params is None:
@@ -163,6 +163,41 @@ def run_training(
     py_rng = random.Random(cfg.train.seed)
     step_rng = jax.random.fold_in(rng, 2)
 
+    def _put_one(v, sharding, batch_axis):
+        v = np.asarray(v)
+        if num_hosts > 1:
+            # per-host-different data onto a global mesh: device_put would
+            # assert cross-process equality; assemble from local stripes
+            gshape = list(v.shape)
+            gshape[batch_axis] = v.shape[batch_axis] * num_hosts
+            return jax.make_array_from_process_local_data(
+                sharding, v, tuple(gshape)
+            )
+        return jax.device_put(jnp.asarray(v), sharding)
+
+    def _put(batch):
+        return {
+            k: _put_one(v, batch_sh, 1)
+            for k, v in batch.items()
+            if not k.startswith("_")
+        }
+
+    def _prefetched(batches, depth=2):
+        """Device-put `depth` batches ahead: device_put dispatches the H2D
+        copy asynchronously, so the next batch streams in while the current
+        step computes (the reference leans on DataLoader workers for the
+        host half only; the device copy there is synchronous per step)."""
+        import collections
+
+        q = collections.deque()
+        for batch in batches:
+            q.append((batch, _put(batch)))
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
+
     def run_eval(data, epoch: int, name: str, rand) -> float:
         # evaluate with the SAME random layer set the epoch trained on
         # (reference resamples only at training_epoch_end, train.py:172-174)
@@ -173,7 +208,7 @@ def run_training(
             eval_sh = NamedSharding(mesh, P("data"))
             transcripts = batch.get("_transcripts")
             b = {
-                k: jax.device_put(jnp.asarray(v[0]), eval_sh)
+                k: _put_one(np.asarray(v[0]), eval_sh, 0)
                 for k, v in batch.items()
                 if not k.startswith("_")
             }
@@ -222,27 +257,33 @@ def run_training(
     prof_stop = prof_start + cfg.train.profile_steps
     profiler_ctx = None
 
-    def _put(batch):
-        return {
-            k: jax.device_put(jnp.asarray(v), batch_sh)
-            for k, v in batch.items()
-            if not k.startswith("_")
-        }
+    def _sync_flag(flag: bool) -> bool:
+        """Multi-host: every process must take IDENTICAL break decisions or
+        the others deadlock in the next collective. OR the local flag across
+        hosts (checked at log_every boundaries to bound DCN traffic — the
+        preemption grace window must cover log_every steps)."""
+        if num_hosts == 1:
+            return flag
+        from jax.experimental import multihost_utils
 
-    def _prefetched(batches, depth=2):
-        """Device-put `depth` batches ahead: device_put dispatches the H2D
-        copy asynchronously, so the next batch streams in while the current
-        step computes (the reference leans on DataLoader workers for the
-        host half only; the device copy there is synchronous per step)."""
-        import collections
+        return bool(
+            np.asarray(
+                multihost_utils.process_allgather(np.asarray(flag))
+            ).any()
+        )
 
-        q = collections.deque()
-        for batch in batches:
-            q.append((batch, _put(batch)))
-            if len(q) >= depth:
-                yield q.popleft()
-        while q:
-            yield q.popleft()
+    def _sync_mean(value: float) -> float:
+        """Per-host eval stripes give different v_loss; agree on the mean so
+        early-stop branches identically everywhere."""
+        if num_hosts == 1:
+            return value
+        from jax.experimental import multihost_utils
+
+        return float(
+            np.asarray(
+                multihost_utils.process_allgather(np.asarray(value))
+            ).mean()
+        )
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         rand = _sample_rand()
@@ -262,7 +303,11 @@ def run_training(
                 logs = jax.device_get(logs)
                 logs.update(rates)
                 logger.log(global_step, logs)
-            if guard.should_stop:
+            check_stop = (
+                num_hosts == 1 or global_step % cfg.train.log_every == 0
+            )
+            if check_stop and _sync_flag(guard.should_stop):
+                guard.should_stop = True  # a peer host was preempted
                 if host_id == 0:
                     ckpt.save(global_step, jax.device_get(state),
                               v_loss=float("inf"))
@@ -276,7 +321,7 @@ def run_training(
 
         if stop and guard.should_stop:
             break
-        v_loss = run_eval(eval_data, epoch, "val", rand)
+        v_loss = _sync_mean(run_eval(eval_data, epoch, "val", rand))
         if host_id == 0:  # params are replicated; one host persists
             ckpt.save(global_step, jax.device_get(state), v_loss)
         if v_loss < best_v:

@@ -108,14 +108,27 @@ def test_labels_and_transcripts(corpus):
 
 
 def test_host_sharding(corpus):
+    """Multi-host = row striping within GLOBALLY IDENTICAL buckets: every
+    host sees the same bucket list (same step count, same padded shapes),
+    and the decoded row stripes are disjoint and reassemble the full batch."""
     root, split = corpus
     full = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, shuffle=False)
     h0 = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, shuffle=False,
                              host_id=0, num_hosts=2)
     h1 = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, shuffle=False,
                              host_id=1, num_hosts=2)
-    assert len(h0.buckets) + len(h1.buckets) == len(full.buckets)
-    assert h0.num_samples + h1.num_samples == full.num_samples
+    assert h0.buckets == h1.buckets == full.buckets
+    assert len(h0) == len(h1) == len(full)
+    bf = next(iter(full.epoch(0)))
+    b0 = next(iter(h0.epoch(0)))
+    b1 = next(iter(h1.epoch(0)))
+    # same padded global shape; local stripes are half the rows
+    assert b0["x"].shape == b1["x"].shape == (1, 1, bf["x"].shape[2])
+    # stripes reassemble the full bucket rows (order-insensitive)
+    rows_full = {bytes(r.tobytes()) for r in bf["x"][0]}
+    rows_sharded = {bytes(b0["x"][0, 0].tobytes()),
+                    bytes(b1["x"][0, 0].tobytes())}
+    assert rows_sharded == rows_full
 
 
 def test_grad_accum_grouping(corpus):

@@ -1,7 +1,9 @@
 """Multi-host smoke over loopback: two local processes initialize
 jax.distributed (the DCN path, parallel/distributed.py), run a cross-process
-reduction on a global mesh, and stride the bucketed input pipeline per host
-without overlap.
+reduction on a global mesh, assemble per-host row-striped batches with
+make_array_from_process_local_data, and execute ONE fused KD train step over
+the global mesh from a shared on-disk corpus — the real multi-host training
+data path end to end.
 
 TPU-equivalent of the reference's 2-process DDP config of record
 (reference train.py:494, data/conf/fithubert.yaml:8).
@@ -13,6 +15,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
 
@@ -23,7 +27,24 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_loopback():
+def _make_corpus(root):
+    from tests.flac_writer import write_flac
+
+    chap = os.path.join(root, "train-tiny", "1", "2")
+    os.makedirs(chap, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        n = 4000 + 321 * i
+        sig = np.round(2000 * np.sin(np.arange(n) * 0.03)
+                       + 40 * rng.standard_normal(n)).astype(np.int64)
+        write_flac(os.path.join(chap, f"1-2-{i:04d}.flac"), [sig],
+                   kind="verbatim")
+
+
+def test_two_process_loopback(tmp_path):
+    corpus = str(tmp_path / "libri")
+    _make_corpus(corpus)
+
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -32,6 +53,7 @@ def test_two_process_loopback():
             FITHUBERT_COORDINATOR=f"127.0.0.1:{port}",
             FITHUBERT_NUM_PROCESSES="2",
             FITHUBERT_PROCESS_ID=str(pid),
+            FITHUBERT_TEST_CORPUS=corpus,
         )
         env.pop("XLA_FLAGS", None)  # 1 CPU device per fake host
         procs.append(
@@ -42,15 +64,14 @@ def test_two_process_loopback():
         )
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, out + err
         outs.append(out)
 
-    buckets = {}
+    losses = set()
     for out in outs:
-        m = re.search(r"WORKER_OK pid=(\d) total=(\S+) buckets=(\S*)", out)
+        m = re.search(r"WORKER_OK pid=(\d) total=(\S+) loss=(\S+)", out)
         assert m, out
-        buckets[int(m.group(1))] = set(m.group(3).split(","))
-    # per-host bucket shards are disjoint and cover everything
-    assert buckets[0].isdisjoint(buckets[1]), buckets
-    assert buckets[0] | buckets[1] == {f"f{i}" for i in range(8)}, buckets
+        assert m.group(3) != "None"
+        losses.add(m.group(3))
+    assert len(losses) == 1, losses  # both hosts computed the same global loss
