@@ -33,6 +33,27 @@ class LossOutput(NamedTuple):
     # (train.py:194-195 uses the last layer's feat loss for early stopping)
 
 
+def _row_weighted_mean(x, rv, keep_axis1: bool = False):
+    """Parity-mode reduction that EXCLUDES fabricated all-padding rows.
+
+    The reference reduces over padded positions (no mask in the loss) but its
+    partial trailing bucket contains only REAL rows; pad_batch_to_full adds
+    fake all-padding rows for shape stability, which must not contribute —
+    student(0) and teacher(0) differ, so a plain mean would inject fake loss.
+    x has batch rows on axis 0; rv (B,) is 1.0 at real rows (None = plain
+    mean). keep_axis1 returns per-axis-1 (layer) values."""
+    if rv is None:
+        if keep_axis1:
+            return jnp.mean(x, axis=(0,) + tuple(range(2, x.ndim)))
+        return jnp.mean(x)
+    w = rv.astype(x.dtype)
+    if keep_axis1:
+        per = jnp.mean(x, axis=tuple(range(2, x.ndim)))  # (B, L)
+        return jnp.sum(per * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    per = jnp.mean(x, axis=tuple(range(1, x.ndim)))  # (B,)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def _masked_mean(x, mask, axes):
     """Mean of x over `axes`, counting only valid (mask False) positions.
 
@@ -90,6 +111,15 @@ def compute_losses(
     if cfg.masked_reduction and teacher.padding_mask is not None:
         frame_mask = teacher.padding_mask  # (B, T_t)
 
+    # real-utterance rows: a row fabricated by pad_batch_to_full has an
+    # all-True frame mask; parity-mode (unmasked) reductions weight by this
+    # so fake rows contribute nothing (masked mode excludes them already)
+    row_valid = None
+    if teacher.padding_mask is not None:
+        row_valid = jnp.logical_not(
+            jnp.all(teacher.padding_mask, axis=-1)
+        ).astype(jnp.float32)
+
     # ---- CNN post-projection loss (train.py:241-246) ------------------------
     cnn_loss = zero
     if cfg.cnn_loss_weight > 0:
@@ -99,7 +129,7 @@ def compute_losses(
         if frame_mask is not None:
             cnn_loss = jnp.mean(_masked_mean(diff, frame_mask[:, :t_min, None], (0, 1, 2)))
         else:
-            cnn_loss = jnp.mean(diff)
+            cnn_loss = _row_weighted_mean(diff, row_valid)
         logs["cnn_loss"] = cnn_loss
 
     # ---- assemble pred / target stacks --------------------------------------
@@ -162,15 +192,17 @@ def compute_losses(
             if layer_mask is not None:
                 rec_layer_loss = _masked_mean(elt, layer_mask, (0, 2, 3))
             else:
-                rec_layer_loss = jnp.mean(elt, axis=(0, 2, 3))
+                rec_layer_loss = _row_weighted_mean(elt, row_valid, keep_axis1=True)
             rec_loss = jnp.sum(rec_layer_loss)
         else:
             if layer_mask is not None:
                 rec_layer_loss = _masked_mean(elt, layer_mask, (0, 2, 3))
                 rec_loss = jnp.mean(rec_layer_loss)
             else:
-                rec_layer_loss = jax.lax.stop_gradient(jnp.mean(elt, axis=(0, 2, 3)))
-                rec_loss = jnp.mean(elt)
+                rec_layer_loss = jax.lax.stop_gradient(
+                    _row_weighted_mean(elt, row_valid, keep_axis1=True)
+                )
+                rec_loss = _row_weighted_mean(elt, row_valid)
 
     # ---- cosine-similarity hint loss (train.py:302-314) ----------------------
     if cfg.sim_loss_weight > 0:
@@ -189,15 +221,17 @@ def compute_losses(
             if frame_mask is not None:
                 sim_layer_loss = _masked_mean(elt, frame_mask[:, None, : elt.shape[2]], (0, 2))
             else:
-                sim_layer_loss = jnp.mean(elt, axis=(0, 2))
+                sim_layer_loss = _row_weighted_mean(elt, row_valid, keep_axis1=True)
             sim_loss = jnp.sum(sim_layer_loss)
         else:
             if frame_mask is not None:
                 sim_layer_loss = _masked_mean(elt, frame_mask[:, None, : elt.shape[2]], (0, 2))
                 sim_loss = jnp.mean(sim_layer_loss)
             else:
-                sim_layer_loss = jax.lax.stop_gradient(jnp.mean(elt, axis=(0, 2)))
-                sim_loss = jnp.mean(elt)
+                sim_layer_loss = jax.lax.stop_gradient(
+                    _row_weighted_mean(elt, row_valid, keep_axis1=True)
+                )
+                sim_loss = _row_weighted_mean(elt, row_valid)
 
     # ---- per-layer logging (train.py:316-324) --------------------------------
     last_layer_loss = zero
@@ -225,20 +259,30 @@ def compute_losses(
         targ_a = f32(t_taps.attn_logits)
         t_min = min(pred_a.shape[1], targ_a.shape[1])
         pred_a, targ_a = pred_a[:, :t_min, :t_min], targ_a[:, :t_min, :t_min]
+        # fake-row weighting on the (B*H,) flattened rows
+        w_z = (
+            jnp.repeat(row_valid, pred_a.shape[0] // row_valid.shape[0])
+            if row_valid is not None
+            else jnp.ones((pred_a.shape[0],), jnp.float32)
+        )
         if cfg.attn_loss_type == "mse":
             l = (pred_a - targ_a) ** 2
             isinf, isnan = jnp.isinf(l), jnp.isnan(l)
-            # reference scrub (train.py:337-341): count whole key-columns
-            inf_count = jnp.count_nonzero(jnp.any(isinf, axis=1)) * l.shape[-1]
-            nan_count = jnp.count_nonzero(jnp.any(isnan, axis=1)) * l.shape[-1]
-            l = jnp.where(isinf | isnan, 0.0, l)
-            attn_loss = jnp.sum(l) / (l.size - inf_count - nan_count)
+            # reference scrub (train.py:337-341): count whole key-columns;
+            # fabricated rows are excluded from numerator and denominator
+            inf_count = jnp.sum(jnp.any(isinf, axis=1) * w_z[:, None]) * l.shape[-1]
+            nan_count = jnp.sum(jnp.any(isnan, axis=1) * w_z[:, None]) * l.shape[-1]
+            l = jnp.where(isinf | isnan, 0.0, l) * w_z[:, None, None]
+            denom = jnp.sum(w_z) * l.shape[1] * l.shape[2] - inf_count - nan_count
+            attn_loss = jnp.sum(l) / jnp.maximum(denom, 1.0)
         elif cfg.attn_loss_type == "kldiv":
             logp = jax.nn.log_softmax(pred_a, axis=-1)
             q = jax.nn.softmax(targ_a, axis=-1)
             l = q * (jnp.log(jnp.maximum(q, 1e-30)) - logp)
             l = jnp.where(jnp.isinf(l) | jnp.isnan(l), 0.0, l)
-            attn_loss = jnp.mean(jnp.sum(l, axis=-1))
+            attn_loss = jnp.sum(
+                jnp.sum(l, axis=-1) * w_z[:, None]
+            ) / jnp.maximum(jnp.sum(w_z) * l.shape[1], 1.0)
         else:
             raise NotImplementedError("attn_loss_type must be one of 'mse', 'kldiv'.")
         logs["attn_loss"] = attn_loss
@@ -250,10 +294,17 @@ def compute_losses(
         targ_v = f32(teacher.layer_results[-1][1].v_rel)
         t_min = min(pred_v.shape[1], targ_v.shape[1])
         pred_v, targ_v = pred_v[:, :t_min, :t_min], targ_v[:, :t_min, :t_min]
+        w_v = (
+            jnp.repeat(row_valid, pred_v.shape[0] // row_valid.shape[0])
+            if row_valid is not None
+            else jnp.ones((pred_v.shape[0],), jnp.float32)
+        )
         logp = jax.nn.log_softmax(pred_v, axis=-1)
         q = jax.nn.softmax(targ_v, axis=-1)
         l = q * (jnp.log(jnp.maximum(q, 1e-30)) - logp)
-        v_rel_loss = jnp.mean(jnp.sum(l, axis=-1))
+        v_rel_loss = jnp.sum(
+            jnp.sum(l, axis=-1) * w_v[:, None]
+        ) / jnp.maximum(jnp.sum(w_v) * l.shape[1], 1.0)
         logs["v_rel_loss"] = v_rel_loss
 
     total = (
@@ -279,9 +330,15 @@ def compute_losses(
         )
         if label_paddings is None:
             label_paddings = (labels == 0).astype(jnp.float32)
-        ctc = jnp.mean(
-            optax.ctc_loss(f32(ctc_logits), logit_pads, labels, label_paddings)
+        per_sample = optax.ctc_loss(
+            f32(ctc_logits), logit_pads, labels, label_paddings
         )
+        if row_valid is not None:
+            ctc = jnp.sum(per_sample * row_valid) / jnp.maximum(
+                jnp.sum(row_valid), 1.0
+            )
+        else:
+            ctc = jnp.mean(per_sample)
         logs["ctc_loss"] = ctc
         total = total + cfg.ctc_loss_weight * ctc
 

@@ -261,3 +261,34 @@ def test_conformer_student_on_mesh():
     state, logs = d.make_train_step()(state, tp, b, jnp.zeros((1,), jnp.int32), rng)
     assert np.isfinite(float(logs["loss"]))
     assert "batch_stats" in state.extra_vars
+
+
+def test_fake_rows_contribute_no_loss():
+    """A batch padded to full size with fabricated all-padding rows
+    (pad_batch_to_full) must produce EXACTLY the loss of the same batch
+    without them — the reference's partial buckets contain only real rows
+    (unmasked parity reductions run over real rows only)."""
+    import dataclasses as dc
+
+    cfg = tiny_cfg()
+    cfg = dc.replace(cfg, loss=dc.replace(cfg.loss, sim_loss_weight=1.0))
+    rng = jax.random.PRNGKey(0)
+    t_wav = 4000
+    wav2 = jax.random.normal(rng, (1, 2, t_wav)) * 0.1
+    mask2 = jnp.zeros((1, 2, t_wav), bool).at[:, 1, t_wav // 2 :].set(True)
+    # same two real rows + one fabricated all-padding row
+    wav3 = jnp.concatenate([wav2, jnp.zeros((1, 1, t_wav))], axis=1)
+    mask3 = jnp.concatenate([mask2, jnp.ones((1, 1, t_wav), bool)], axis=1)
+
+    losses = {}
+    for name, (w, m) in {"real": (wav2, mask2), "padded": (wav3, mask3)}.items():
+        d = Distiller(cfg, mesh=make_mesh(1), num_training_steps=10,
+                      teacher_geometry=tiny_teacher_geometry())
+        tp = d.init_teacher_params(rng, w[0])
+        state = d.init_state(jax.random.PRNGKey(1), w[0])
+        _s, logs = d.make_train_step()(
+            state, tp, {"x": w, "padding_mask": m},
+            jnp.zeros((1,), jnp.int32), rng,
+        )
+        losses[name] = float(logs["loss"])
+    np.testing.assert_allclose(losses["padded"], losses["real"], rtol=1e-5)
