@@ -253,47 +253,51 @@ class BucketedLibriSpeech:
                 label_pads[i, : len(ids)] = 0.0
         return x, mask, labels, label_pads, transcripts
 
-    def first_batch(self) -> Dict[str, np.ndarray]:
-        """One step batch for shape/init probing, built inline — epoch()
-        would spin up the prefetch pool and decode prefetch+1 full groups
-        just to be abandoned after the first yield."""
-        return next(iter(self.epoch(0, _prefetch=0)))
+    def _build_group(self, group) -> Dict[str, np.ndarray]:
+        """Load + pad one accum group of buckets into an (A, B, T) batch."""
+        bs = [self.buckets[int(g)] for g in group]
+        t_pad = max(
+            quantize_length(
+                max(l for (_p, l) in b), self.cfg.length_quantum,
+                self.cfg.max_wav_length,
+            )
+            for b in bs
+        )
+        # label width scales with audio length (~1 char / 400 samples is a
+        # safe LibriSpeech upper bound), quantized for shape stability
+        u_pad = quantize_length(t_pad // 400 + 16, self.cfg.label_quantum)
+        loaded = [self._load_bucket(b, t_pad, u_pad) for b in bs]
+        batch = {
+            "x": np.stack([l[0] for l in loaded]),  # (A, B, T)
+            "padding_mask": np.stack([l[1] for l in loaded]),
+        }
+        if self._dictionary is not None:
+            batch["labels"] = np.stack([l[2] for l in loaded])
+            batch["label_paddings"] = np.stack([l[3] for l in loaded])
+            batch["_transcripts"] = [l[4] for l in loaded]  # host-only
+        return batch
 
-    def epoch(self, epoch_idx: int = 0, _prefetch: Optional[int] = None
-              ) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield step batches; buckets shuffled per epoch (train.py:425 shuffle=True)."""
+    def _groups(self, epoch_idx: int):
         order = np.arange(len(self.buckets))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
-        groups = [
+        return [
             order[i : i + self.accum]
             for i in range(0, len(order) - self.accum + 1, self.accum)
         ]
 
-        def build(group):
-            bs = [self.buckets[int(g)] for g in group]
-            t_pad = max(
-                quantize_length(
-                    max(l for (_p, l) in b), self.cfg.length_quantum,
-                    self.cfg.max_wav_length,
-                )
-                for b in bs
-            )
-            # label width scales with audio length (~1 char / 400 samples is a
-            # safe LibriSpeech upper bound), quantized for shape stability
-            u_pad = quantize_length(t_pad // 400 + 16, self.cfg.label_quantum)
-            loaded = [self._load_bucket(b, t_pad, u_pad) for b in bs]
-            batch = {
-                "x": np.stack([l[0] for l in loaded]),  # (A, B, T)
-                "padding_mask": np.stack([l[1] for l in loaded]),
-            }
-            if self._dictionary is not None:
-                batch["labels"] = np.stack([l[2] for l in loaded])
-                batch["label_paddings"] = np.stack([l[3] for l in loaded])
-                batch["_transcripts"] = [l[4] for l in loaded]  # host-only
-            return batch
+    def first_batch(self) -> Dict[str, np.ndarray]:
+        """One step batch for shape/init probing, built inline — epoch()
+        spins up the prefetch pool and decodes ahead, all wasted when the
+        generator is abandoned after the first yield."""
+        return self._build_group(self._groups(0)[0])
 
-        n_prefetch = self.cfg.prefetch if _prefetch is None else _prefetch
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield step batches; buckets shuffled per epoch (train.py:425 shuffle=True)."""
+        groups = self._groups(epoch_idx)
+        build = self._build_group
+
+        n_prefetch = self.cfg.prefetch
         with cf.ThreadPoolExecutor(max_workers=max(1, self.cfg.num_workers)) as ex:
             pending: "queue.Queue" = queue.Queue()
             it = iter(groups)

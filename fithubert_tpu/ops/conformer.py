@@ -184,6 +184,57 @@ class FeedForwardModule(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+class RowMaskedBatchNorm(nn.Module):
+    """BatchNorm over (B, T, C) whose batch statistics EXCLUDE fabricated
+    all-padding rows (pad_batch_to_full): the reference's partial trailing
+    buckets never contain such rows, so their conv responses must not shift
+    the running stats. Real rows keep their padded positions in the stats,
+    matching fairseq's unmasked ConvolutionModule BatchNorm. Param / stats
+    names mirror nn.BatchNorm (scale/bias, batch_stats mean/var) so state
+    trees and importers are unchanged."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, row_valid=None, use_running_average=True):
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            if row_valid is None:
+                w = jnp.ones(x.shape[:2], jnp.float32)
+            else:
+                w = jnp.broadcast_to(
+                    row_valid.astype(jnp.float32)[:, None], x.shape[:2]
+                )
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x32 * w[..., None], axis=(0, 1)) / denom
+            var = jnp.sum(
+                (x32 - mean) ** 2 * w[..., None], axis=(0, 1)
+            ) / denom
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon
+        ) * scale + bias
+        return y.astype(x.dtype)
+
+
 class ConvolutionModule(nn.Module):
     embed_dim: int
     depthwise_kernel_size: int
@@ -191,7 +242,7 @@ class ConvolutionModule(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, deterministic=True):  # (B, T, C)
+    def __call__(self, x, deterministic=True, row_valid=None):  # (B, T, C)
         assert (self.depthwise_kernel_size - 1) % 2 == 0
         x = FP32LayerNorm(name="layer_norm")(x)
         x = Conv1D(2 * self.embed_dim, kernel_size=1, dtype=self.dtype,
@@ -203,10 +254,9 @@ class ConvolutionModule(nn.Module):
             groups=self.embed_dim, padding=(pad, pad), dtype=self.dtype,
             name="depthwise_conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="batch_norm",
-        )(x)
+        x = RowMaskedBatchNorm(name="batch_norm")(
+            x, row_valid=row_valid, use_running_average=deterministic
+        )
         x = jax.nn.silu(x)
         x = Conv1D(self.embed_dim, kernel_size=1, dtype=self.dtype,
                    name="pointwise_conv2")(x)
@@ -256,10 +306,15 @@ class ConformerEncoderLayer(nn.Module):
         x = x + residual
 
         residual = x
+        row_valid = (
+            jnp.logical_not(jnp.all(padding_mask, axis=-1))
+            if padding_mask is not None
+            else None
+        )
         x = ConvolutionModule(
             self.embed_dim, self.depthwise_conv_kernel_size, self.dropout,
             self.dtype, name="conv_module",
-        )(x, deterministic)
+        )(x, deterministic, row_valid=row_valid)
         x = residual + x
 
         residual = x

@@ -220,15 +220,42 @@ def run_training(
             # fixed — the reference never initializes its metrics, SURVEY.md §4)
             if predict_step is not None and transcripts:
                 ids, _ = predict_step(state, b)
-                for row_ids, ref in zip(np.asarray(ids), transcripts[0]):
+                if num_hosts > 1:
+                    # the global array spans non-addressable devices; fetch
+                    # THIS host's row stripe (sorted by global offset, which
+                    # is how the local batch rows were laid out) and pair
+                    # with its local transcripts
+                    shards = sorted(
+                        ids.addressable_shards, key=lambda s: s.index[0].start or 0
+                    )
+                    local_ids = np.concatenate([np.asarray(s.data) for s in shards])
+                else:
+                    local_ids = np.asarray(ids)
+                for row_ids, ref in zip(local_ids, transcripts[0]):
                     hyps.append(decoder.decode(row_ids))
                     refs.append(ref)
         means = {k: v / max(n, 1) for k, v in totals.items()}
         if refs:
             from fithubert_tpu.utils.text import cer, wer
 
-            means["wer"] = wer(refs, hyps)
-            means["cer"] = cer(refs, hyps)
+            if num_hosts > 1:
+                # aggregate per-host partial error counts so every host
+                # reports the same corpus-level WER/CER
+                from jax.experimental import multihost_utils
+
+                from fithubert_tpu.utils.text import edit_stats
+
+                w_err, w_tot, c_err, c_tot = edit_stats(refs, hyps)
+                agg = np.asarray(
+                    multihost_utils.process_allgather(
+                        np.asarray([w_err, w_tot, c_err, c_tot], np.float64)
+                    )
+                ).reshape(num_hosts, 4).sum(axis=0)
+                means["wer"] = float(agg[0] / max(agg[1], 1.0))
+                means["cer"] = float(agg[2] / max(agg[3], 1.0))
+            else:
+                means["wer"] = wer(refs, hyps)
+                means["cer"] = cer(refs, hyps)
         logger.log(int(state.step), means, prefix=f"{name}/")
         return means.get("v_loss", float("inf"))
 
@@ -272,18 +299,6 @@ def run_training(
             ).any()
         )
 
-    def _sync_mean(value: float) -> float:
-        """Per-host eval stripes give different v_loss; agree on the mean so
-        early-stop branches identically everywhere."""
-        if num_hosts == 1:
-            return value
-        from jax.experimental import multihost_utils
-
-        return float(
-            np.asarray(
-                multihost_utils.process_allgather(np.asarray(value))
-            ).mean()
-        )
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         rand = _sample_rand()
@@ -321,7 +336,10 @@ def run_training(
 
         if stop and guard.should_stop:
             break
-        v_loss = _sync_mean(run_eval(eval_data, epoch, "val", rand))
+        # v_loss comes from replicated outputs of globally-sharded eval
+        # steps: already identical on every host, so early-stop branches
+        # identically with no extra sync
+        v_loss = run_eval(eval_data, epoch, "val", rand)
         if host_id == 0:  # params are replicated; one host persists
             ckpt.save(global_step, jax.device_get(state), v_loss)
         if v_loss < best_v:

@@ -54,6 +54,13 @@ def _row_weighted_mean(x, rv, keep_axis1: bool = False):
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _taps_row_weight(row_valid, z: int):
+    """Row weights for (B*H, T, T) flattened attention taps (b-major)."""
+    if row_valid is None:
+        return jnp.ones((z,), jnp.float32)
+    return jnp.repeat(row_valid, z // row_valid.shape[0])
+
+
 def _masked_mean(x, mask, axes):
     """Mean of x over `axes`, counting only valid (mask False) positions.
 
@@ -259,12 +266,7 @@ def compute_losses(
         targ_a = f32(t_taps.attn_logits)
         t_min = min(pred_a.shape[1], targ_a.shape[1])
         pred_a, targ_a = pred_a[:, :t_min, :t_min], targ_a[:, :t_min, :t_min]
-        # fake-row weighting on the (B*H,) flattened rows
-        w_z = (
-            jnp.repeat(row_valid, pred_a.shape[0] // row_valid.shape[0])
-            if row_valid is not None
-            else jnp.ones((pred_a.shape[0],), jnp.float32)
-        )
+        w_z = _taps_row_weight(row_valid, pred_a.shape[0])
         if cfg.attn_loss_type == "mse":
             l = (pred_a - targ_a) ** 2
             isinf, isnan = jnp.isinf(l), jnp.isnan(l)
@@ -294,11 +296,7 @@ def compute_losses(
         targ_v = f32(teacher.layer_results[-1][1].v_rel)
         t_min = min(pred_v.shape[1], targ_v.shape[1])
         pred_v, targ_v = pred_v[:, :t_min, :t_min], targ_v[:, :t_min, :t_min]
-        w_v = (
-            jnp.repeat(row_valid, pred_v.shape[0] // row_valid.shape[0])
-            if row_valid is not None
-            else jnp.ones((pred_v.shape[0],), jnp.float32)
-        )
+        w_v = _taps_row_weight(row_valid, pred_v.shape[0])
         logp = jax.nn.log_softmax(pred_v, axis=-1)
         q = jax.nn.softmax(targ_v, axis=-1)
         l = q * (jnp.log(jnp.maximum(q, 1e-30)) - logp)

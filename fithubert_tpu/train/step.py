@@ -198,7 +198,12 @@ class Distiller:
             # data-INDEPENDENT denominator: corrected masked means
             # (loss.masked_reduction) and the attn-loss inf/nan scrub divide
             # by per-microbatch valid counts, where mean-of-means != merged
-            # mean — keep the sequential scan there.
+            # mean — keep the sequential scan there. Remaining caveat: the
+            # fake-row weighting (losses._row_weighted_mean) also makes
+            # denominators data-dependent, but ONLY on the one step per epoch
+            # whose group holds the partial trailing bucket; there the fused
+            # form computes the (equally valid) global weighted mean instead
+            # of the scan's mean of per-microbatch means.
             fuse_ok = (
                 cfg.train.fuse_grad_accum
                 and not self._has_batch_stats

@@ -110,6 +110,18 @@ def cer(references: Sequence[str], hypotheses: Sequence[str]) -> float:
     return errs / max(total, 1)
 
 
+def edit_stats(references: Sequence[str], hypotheses: Sequence[str]):
+    """(word errs, words, char errs, chars) — summable across hosts so a
+    multi-host eval can aggregate to one corpus-level WER/CER."""
+    w_err = w_tot = c_err = c_tot = 0
+    for ref, hyp in zip(references, hypotheses):
+        w_err += edit_distance(ref.split(), hyp.split())
+        w_tot += len(ref.split())
+        c_err += edit_distance(list(ref), list(hyp))
+        c_tot += len(ref)
+    return w_err, w_tot, c_err, c_tot
+
+
 def default_dict_path() -> str:
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),

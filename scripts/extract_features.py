@@ -66,9 +66,13 @@ def main():
         pad = out.get("padding_mask")
         for j, p in enumerate(paths):
             # crop padding via the model's own frame mask (the 320 downsample
-            # contract only holds for release geometries; the mask is exact)
+            # contract only holds for release geometries; the mask is exact).
+            # Intermediate hiddens BEFORE a mid-stack TR layer run at a
+            # different rate than the output mask — leave those uncropped.
             n_frames = (
-                int((~pad[j]).sum()) if pad is not None else feats.shape[1]
+                int((~pad[j]).sum())
+                if pad is not None and pad.shape[1] == feats.shape[1]
+                else feats.shape[1]
             )
             name = os.path.splitext(os.path.basename(p))[0] + ".npy"
             np.save(os.path.join(args.out, name),

@@ -190,3 +190,37 @@ def test_layerdrop_rng():
         outs.append(np.asarray(out.x))
     # different layerdrop keys must produce at least two distinct outputs
     assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+
+def test_row_masked_batchnorm_ignores_fake_rows():
+    """Conformer BatchNorm statistics must exclude fabricated all-padding
+    rows — the reference's partial buckets never contain them."""
+    from fithubert_tpu.ops.conformer import RowMaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+    fake = jnp.full((1, 6, 8), 3.7, jnp.float32)  # a garbage fabricated row
+    padded = jnp.concatenate([real, fake], axis=0)
+
+    bn = RowMaskedBatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), real, use_running_average=False)
+
+    def run(x, rv):
+        y, updated = bn.apply(
+            v, x, row_valid=rv, use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        return y, updated["batch_stats"]
+
+    y_real, bs_real = run(real, None)
+    rv = jnp.asarray([True, True, False])
+    y_padded, bs_padded = run(padded, rv)
+    np.testing.assert_allclose(
+        np.asarray(y_padded[:2]), np.asarray(y_real), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs_padded["mean"]), np.asarray(bs_real["mean"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs_padded["var"]), np.asarray(bs_real["var"]), rtol=1e-5
+    )
