@@ -65,15 +65,15 @@ def main():
         )
         pad = out.get("padding_mask")
         for j, p in enumerate(paths):
-            # crop padding via the model's own frame mask (the 320 downsample
-            # contract only holds for release geometries; the mask is exact).
-            # Intermediate hiddens BEFORE a mid-stack TR layer run at a
-            # different rate than the output mask — leave those uncropped.
-            n_frames = (
-                int((~pad[j]).sum())
-                if pad is not None and pad.shape[1] == feats.shape[1]
-                else feats.shape[1]
-            )
+            # crop padding via the model's own frame mask. The mask lives at
+            # the POST-TR rate while the output is upsampled back, and
+            # intermediate hiddens can sit at either rate — scale the valid
+            # count by the length ratio (exact: both are quantized shapes).
+            if pad is not None and feats.shape[1] % pad.shape[1] == 0:
+                factor = feats.shape[1] // pad.shape[1]
+                n_frames = int((~pad[j]).sum()) * factor
+            else:
+                n_frames = feats.shape[1]
             name = os.path.splitext(os.path.basename(p))[0] + ".npy"
             np.save(os.path.join(args.out, name),
                     np.asarray(feats[j][:n_frames]))

@@ -318,8 +318,10 @@ def test_extract_features_cli(tmp_path):
 
     expert = UpstreamExpert(weights_path, yaml_path)
     ref = expert([audio.decode(flacs[0]), audio.decode(flacs[1])])
-    n0 = int((~ref["padding_mask"][0]).sum())
-    n1 = int((~ref["padding_mask"][1]).sum())
+    # the frame mask lives at the post-TR rate; the output is upsampled back
+    factor = ref["last_hidden_state"].shape[1] // ref["padding_mask"].shape[1]
+    n0 = int((~ref["padding_mask"][0]).sum()) * factor
+    n1 = int((~ref["padding_mask"][1]).sum()) * factor
     assert f0.shape == (n0, STUDENT_CFG.pred_head_final_dim), (f0.shape, n0)
     assert f1.shape[0] == n1 and n1 < n0
     np.testing.assert_allclose(f0, ref["last_hidden_state"][0][:n0], atol=1e-5)
