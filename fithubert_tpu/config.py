@@ -154,6 +154,14 @@ class StudentConfig:
     # TPU-native extras (not in reference)
     use_pallas_attention: bool = True  # flash-attention kernel when no taps needed
     use_pallas_conv: bool = True  # fused conv front-end stack (blocks 1..N)
+    # lax.scan over the transformer layers (trace/compile the layer once;
+    # per-layer params stacked from the unchanged layers_{i} tree). Numerics
+    # identical to the unrolled loop; falls back automatically for init,
+    # tgt_slot early exit, conformer blocks, and attn/v_rel tap capture.
+    # None = auto: UNROLLED on TPU (scan costs ~4% steps/s — XLA loses
+    # inter-layer fusion), SCANNED elsewhere (halves trace/compile time,
+    # which dominates CPU tests and debugging loops).
+    scan_layers: Optional[bool] = None
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
 
     @property

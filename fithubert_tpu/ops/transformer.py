@@ -262,9 +262,31 @@ class TransformerEncoder(nn.Module):
         tr_layer_results = []
         tr_slot = cfg.tr_layer_index if cfg.enable_tr_layer else -1
 
+        # scan-over-layers: trace/compile the layer ONCE and lax.scan over
+        # per-layer params stacked at trace time from the layers_{i} subtrees
+        # — the param tree stays byte-identical to the unrolled path, so
+        # importers / checkpoints / TP sharding rules are untouched.
+        # Compile-time lever: the 12-layer release stacks dominate both the
+        # CPU test suite's tracing and the ~80 s remote TPU compiles.
+        # Fallbacks to the unrolled loop: param creation (init), tgt_slot
+        # early exit, conformer blocks, and need_taps (scan would physically
+        # stack every layer's (B*H, T, T) taps; unrolled lets XLA DCE all but
+        # the last layer's, the only one the attn/v_rel losses read).
+        scan_pref = cfg.scan_layers
+        if scan_pref is None:  # auto: throughput on TPU, compile speed off it
+            scan_pref = jax.devices()[0].platform != "tpu"
+        use_scan = (
+            scan_pref
+            and not self.is_initializing()
+            and tgt_slot is None
+            and cfg.layer_type != "conformer"
+            and not need_taps
+        )
+
         layer_idx = 0
         num_slots = cfg.encoder_layers + (1 if cfg.enable_tr_layer else 0)
-        for slot in range(num_slots):
+        slot = 0
+        while slot < num_slots:
             if slot == tr_slot:
                 x = TimeReduction(
                     embed_dim=cfg.encoder_embed_dim,
@@ -277,6 +299,22 @@ class TransformerEncoder(nn.Module):
                 padding_mask = reduce_padding_mask(padding_mask, cfg.tr_reduce_factor)
                 if tgt_slot is not None and slot >= tgt_slot:
                     break
+                slot += 1
+                continue
+
+            if use_scan:
+                # contiguous run of transformer layers up to the TR slot/end
+                run_end = slot
+                while run_end < num_slots and run_end != tr_slot:
+                    run_end += 1
+                n_run = run_end - slot
+                ids = list(range(layer_idx, layer_idx + n_run))
+                x, results = self._scan_layer_run(
+                    x, padding_mask, deterministic, ids
+                )
+                layer_results.extend(results)
+                layer_idx += n_run
+                slot = run_end
                 continue
 
             if cfg.layer_type == "conformer":
@@ -334,6 +372,7 @@ class TransformerEncoder(nn.Module):
             layer_idx += 1
             if tgt_slot is not None and slot >= tgt_slot:
                 break
+            slot += 1
 
         # undo pad_to_multiple (reference modules/module.py:346-356). After a
         # TR layer the tail pad has been folded into reduced frames; the
@@ -360,3 +399,70 @@ class TransformerEncoder(nn.Module):
             tr_layer_results=tr_layer_results,
             padding_mask=padding_mask,
         )
+
+    def _scan_layer_run(self, x, padding_mask, deterministic: bool, ids):
+        """lax.scan over a contiguous run of transformer layers.
+
+        Per-layer params are stacked at trace time from this module's
+        `layers_{i}` subtrees and the (unbound) layer template is applied
+        functionally per step — numerically identical to the unrolled loop
+        while tracing/compiling the layer body once. Returns
+        (x, [(hidden, taps, layer_result)] per layer), matching the
+        unrolled list interface (taps are None: scan is gated off when
+        need_taps)."""
+        cfg = self.cfg
+        n = len(ids)
+        params = self.variables["params"]
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[params[f"layers_{i}"] for i in ids]
+        )
+        template = TransformerEncoderLayer(
+            embed_dim=cfg.encoder_embed_dim,
+            ffn_dim=cfg.encoder_ffn_embed_dim,
+            num_heads=cfg.encoder_attention_heads,
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            activation_fn=cfg.activation_fn,
+            layer_norm_first=cfg.layer_norm_first,
+            use_pallas=cfg.use_pallas_attention,
+            dtype=self.dtype,
+        )
+        stochastic = not deterministic
+        drop_keys = (
+            jax.random.split(self.make_rng("dropout"), n)
+            if stochastic
+            else jnp.zeros((n, 2), jnp.uint32)
+        )
+        layerdrop = cfg.encoder_layerdrop > 0 and stochastic
+        ld_keys = (
+            jax.random.split(self.make_rng("layerdrop"), n)
+            if layerdrop
+            else jnp.zeros((n, 2), jnp.uint32)
+        )
+
+        def body(carry, per):
+            h = carry
+            p, dk, lk = per
+            rngs = {"dropout": dk} if stochastic else {}
+            y, _taps, layer_result = template.apply(
+                {"params": p}, h, padding_mask, deterministic, False,
+                rngs=rngs,
+            )
+            if layerdrop:
+                keep = jax.random.uniform(lk, ()) > cfg.encoder_layerdrop
+                y = jnp.where(keep, y, h)
+            return y, (y, layer_result)
+
+        if cfg.checkpoint_activations:
+            # reference wraps layers in fairseq checkpoint_wrapper
+            # (modules/module.py:144-145); remat the scan body
+            body = jax.checkpoint(body)
+        x, (hiddens, layer_res) = jax.lax.scan(
+            body, x, (stacked, drop_keys, ld_keys)
+        )
+        results = [
+            (hiddens[i], AttentionTaps(None, None), layer_res[i])
+            for i in range(n)
+        ]
+        return x, results

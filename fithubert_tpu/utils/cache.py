@@ -15,12 +15,24 @@ import os
 def enable_compilation_cache(cache_dir: str = "") -> str:
     """Point jax at a persistent compilation cache directory and return it.
 
-    Default location: `<repo>/.jax_cache` (gitignored, shared with the test
-    suite), overridable via $FITHUBERT_CACHE_DIR or the argument. Must be
-    called before the first compilation; later calls are harmless.
+    Default location: `<repo>/.jax_cache` (gitignored), overridable via
+    $FITHUBERT_CACHE_DIR or the argument. Must be called before the first
+    compilation; later calls are harmless.
+
+    CPU backends are EXCLUDED: reloading serialized XLA:CPU AOT executables
+    tripped nondeterministic SIGABRTs in this environment (the loader also
+    warns about machine-feature mismatches like +prefer-no-gather). The CPU
+    compile-time story is carried by scan_layers instead; the TPU cache —
+    which saves the ~80 s remote compiles — has been solid.
     """
     import jax
 
+    # decide from the CONFIGURED platform only: probing the backend here
+    # (jax.default_backend) would initialize XLA, which must not happen
+    # before jax.distributed.initialize in multi-host entry points
+    platforms = jax.config.jax_platforms or ""
+    if "cpu" in str(platforms).split(","):
+        return ""
     cache_dir = (
         cache_dir
         or os.environ.get("FITHUBERT_CACHE_DIR")

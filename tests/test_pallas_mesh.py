@@ -119,6 +119,7 @@ def test_train_step_pallas_dp8():
         assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_train_step_pallas_matches_xla_dp8():
     """Kernel path == XLA oracle path on the same sharded mesh (same params)."""
     mesh = make_mesh(8, model_axis=1)

@@ -71,6 +71,7 @@ def make_batch(rng, accum=2, b=8, t=4000):
     return {"x": wav, "padding_mask": mask}
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     cfg = tiny_cfg()
     mesh = make_mesh()
@@ -84,14 +85,15 @@ def test_loss_decreases_over_steps():
     rand = jnp.zeros((1,), jnp.int32)
 
     losses = []
-    for i in range(12):
+    for i in range(8):
         state, logs = step(state, tp, batch, rand, jax.random.PRNGKey(2))
         losses.append(float(logs["loss"]))
-    assert losses[-1] < losses[0] * 0.95, losses
-    assert int(state.step) == 12
+    assert losses[-1] < losses[0] * 0.97, losses
+    assert int(state.step) == 8
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_data_parallel_8_devices_matches_semantics():
     """Batch sharded over 8 CPU devices must produce finite loss and step."""
     assert jax.device_count() == 8
@@ -114,6 +116,7 @@ def test_data_parallel_8_devices_matches_semantics():
     assert np.isfinite(float(logs["loss"]))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh_runs():
     """('data' 4 × 'model' 2) mesh: FFN/attention weights sharded on 'model'."""
     cfg = tiny_cfg()
@@ -186,7 +189,7 @@ def test_fused_grad_accum_matches_scan(masked):
     rng = jax.random.PRNGKey(0)
     batch = make_batch(rng)
     rand = jnp.zeros((1,), jnp.int32)
-    logs_by_mode = {}
+    outs = {}
     for fuse in (False, True):
         cfg = tiny_cfg(masked_reduction=masked)
         cfg = dataclasses.replace(
@@ -196,16 +199,25 @@ def test_fused_grad_accum_matches_scan(masked):
                       teacher_geometry=tiny_teacher_geometry())
         tp = d.init_teacher_params(rng, batch["x"][0])
         state = d.init_state(jax.random.PRNGKey(1), batch["x"][0])
-        _state, logs = d.make_train_step()(state, tp, batch, rand,
-                                           jax.random.PRNGKey(2))
-        logs_by_mode[fuse] = {k: float(v) for k, v in logs.items()}
-    np.testing.assert_allclose(
-        logs_by_mode[True]["loss"], logs_by_mode[False]["loss"], rtol=1e-5
-    )
-    np.testing.assert_allclose(
-        logs_by_mode[True]["grad_norm"], logs_by_mode[False]["grad_norm"],
-        rtol=1e-4,
-    )
+        if masked:
+            # the gate must force the SCAN path in both modes: identical
+            # lowered HLO, checked without paying two full compiles
+            outs[fuse] = d.make_train_step().lower(
+                state, tp, batch, rand, jax.random.PRNGKey(2)
+            ).as_text()
+        else:
+            _state, logs = d.make_train_step()(state, tp, batch, rand,
+                                               jax.random.PRNGKey(2))
+            outs[fuse] = {k: float(v) for k, v in logs.items()}
+    if masked:
+        assert outs[True] == outs[False]
+    else:
+        np.testing.assert_allclose(
+            outs[True]["loss"], outs[False]["loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            outs[True]["grad_norm"], outs[False]["grad_norm"], rtol=1e-4
+        )
 
 
 def test_data_parallel_matches_single_device_numerically():
@@ -235,6 +247,7 @@ def test_data_parallel_matches_single_device_numerically():
     )
 
 
+@pytest.mark.slow
 def test_conformer_student_on_mesh():
     """Conformer student (BatchNorm conv module) under the 8-way DP mesh:
     batch stats reduce over the GLOBAL batch (GSPMD emits the cross-shard
@@ -286,9 +299,11 @@ def test_fake_rows_contribute_no_loss():
                       teacher_geometry=tiny_teacher_geometry())
         tp = d.init_teacher_params(rng, w[0])
         state = d.init_state(jax.random.PRNGKey(1), w[0])
-        _s, logs = d.make_train_step()(
-            state, tp, {"x": w, "padding_mask": m},
-            jnp.zeros((1,), jnp.int32), rng,
+        # eval_step: the invariant is about the LOSS value; grads are linear
+        # in it (and the grad path is covered by the fully-padded-row test)
+        logs = d.make_eval_step()(
+            state, tp, {"x": w[0], "padding_mask": m[0]},
+            jnp.zeros((1,), jnp.int32),
         )
-        losses[name] = float(logs["loss"])
+        losses[name] = float(logs["total"])
     np.testing.assert_allclose(losses["padded"], losses["real"], rtol=1e-5)
