@@ -282,7 +282,7 @@ def main():
 
     from fithubert_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache(probe_backend=True)
     platform = jax.devices()[0].platform
     quick = "--quick" in sys.argv
     sync = _sync_factory()

@@ -188,6 +188,23 @@ class TimeReduction(nn.Module):
         )
 
 
+def _transformer_layer_kwargs(cfg: StudentConfig, dtype):
+    """Single source of layer hyperparameters for BOTH the unrolled loop and
+    the scan template — a field added in one place reaches both paths."""
+    return dict(
+        embed_dim=cfg.encoder_embed_dim,
+        ffn_dim=cfg.encoder_ffn_embed_dim,
+        num_heads=cfg.encoder_attention_heads,
+        dropout=cfg.dropout,
+        attention_dropout=cfg.attention_dropout,
+        activation_dropout=cfg.activation_dropout,
+        activation_fn=cfg.activation_fn,
+        layer_norm_first=cfg.layer_norm_first,
+        use_pallas=cfg.use_pallas_attention,
+        dtype=dtype,
+    )
+
+
 class TransformerEncoder(nn.Module):
     """Encoder stack with conv positional embedding and TR-layer schedule.
 
@@ -348,16 +365,7 @@ class TransformerEncoder(nn.Module):
                     # __call__(self, x, padding_mask, deterministic, need_taps)
                     layer_cls = nn.remat(layer_cls, static_argnums=(3, 4))
                 layer = layer_cls(
-                    embed_dim=cfg.encoder_embed_dim,
-                    ffn_dim=cfg.encoder_ffn_embed_dim,
-                    num_heads=cfg.encoder_attention_heads,
-                    dropout=cfg.dropout,
-                    attention_dropout=cfg.attention_dropout,
-                    activation_dropout=cfg.activation_dropout,
-                    activation_fn=cfg.activation_fn,
-                    layer_norm_first=cfg.layer_norm_first,
-                    use_pallas=cfg.use_pallas_attention,
-                    dtype=self.dtype,
+                    **_transformer_layer_kwargs(cfg, self.dtype),
                     name=f"layers_{layer_idx}",
                 )
                 y, taps, layer_result = layer(x, padding_mask, deterministic, need_taps)
@@ -417,34 +425,38 @@ class TransformerEncoder(nn.Module):
             lambda *xs: jnp.stack(xs), *[params[f"layers_{i}"] for i in ids]
         )
         template = TransformerEncoderLayer(
-            embed_dim=cfg.encoder_embed_dim,
-            ffn_dim=cfg.encoder_ffn_embed_dim,
-            num_heads=cfg.encoder_attention_heads,
-            dropout=cfg.dropout,
-            attention_dropout=cfg.attention_dropout,
-            activation_dropout=cfg.activation_dropout,
-            activation_fn=cfg.activation_fn,
-            layer_norm_first=cfg.layer_norm_first,
-            use_pallas=cfg.use_pallas_attention,
-            dtype=self.dtype,
+            **_transformer_layer_kwargs(cfg, self.dtype)
         )
-        stochastic = not deterministic
+        # draw dropout rngs only when a dropout actually fires — flax
+        # nn.Dropout(rate=0) never calls make_rng, and callers relying on
+        # that may legitimately omit the 'dropout' rng. Layerdrop is gated
+        # independently (it has its own rng stream).
+        use_dropout_rng = not deterministic and (
+            cfg.dropout > 0
+            or cfg.attention_dropout > 0
+            or cfg.activation_dropout > 0
+        )
         drop_keys = (
             jax.random.split(self.make_rng("dropout"), n)
-            if stochastic
+            if use_dropout_rng
             else jnp.zeros((n, 2), jnp.uint32)
         )
-        layerdrop = cfg.encoder_layerdrop > 0 and stochastic
+        layerdrop = cfg.encoder_layerdrop > 0 and not deterministic
         ld_keys = (
             jax.random.split(self.make_rng("layerdrop"), n)
             if layerdrop
             else jnp.zeros((n, 2), jnp.uint32)
         )
 
+        from fithubert_tpu.parallel import constrain_batch_sharded
+
         def body(carry, per):
-            h = carry
+            # pin the carry's batch sharding: GSPMD propagation can drift to
+            # replication inside scan bodies (same failure mode as the
+            # encoder-entry pin above; no-op without a kernel mesh)
+            h = constrain_batch_sharded(carry)
             p, dk, lk = per
-            rngs = {"dropout": dk} if stochastic else {}
+            rngs = {"dropout": dk} if use_dropout_rng else {}
             y, _taps, layer_result = template.apply(
                 {"params": p}, h, padding_mask, deterministic, False,
                 rngs=rngs,
@@ -456,8 +468,11 @@ class TransformerEncoder(nn.Module):
 
         if cfg.checkpoint_activations:
             # reference wraps layers in fairseq checkpoint_wrapper
-            # (modules/module.py:144-145); remat the scan body
-            body = jax.checkpoint(body)
+            # (modules/module.py:144-145); remat the scan body.
+            # prevent_cse=False: lax.scan already provides the CSE barrier
+            # (per the jax.checkpoint docs), avoiding optimization-barrier
+            # overhead in compile and backward
+            body = jax.checkpoint(body, prevent_cse=False)
         x, (hiddens, layer_res) = jax.lax.scan(
             body, x, (stacked, drop_keys, ld_keys)
         )

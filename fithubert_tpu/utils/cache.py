@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache(cache_dir: str = "") -> str:
+def enable_compilation_cache(cache_dir: str = "", probe_backend: bool = False) -> str:
     """Point jax at a persistent compilation cache directory and return it.
 
     Default location: `<repo>/.jax_cache` (gitignored), overridable via
@@ -27,12 +27,21 @@ def enable_compilation_cache(cache_dir: str = "") -> str:
     """
     import jax
 
-    # decide from the CONFIGURED platform only: probing the backend here
-    # (jax.default_backend) would initialize XLA, which must not happen
-    # before jax.distributed.initialize in multi-host entry points
-    platforms = jax.config.jax_platforms or ""
-    if "cpu" in str(platforms).split(","):
+    # FAIL CLOSED: only enable when the platform is known non-CPU. The
+    # configured platform string is consulted first (reading it never
+    # initializes XLA — required before jax.distributed.initialize in
+    # multi-host entry points). Entry points that never run multi-host
+    # (bench, feature extraction, the driver's single-chip entry) may pass
+    # probe_backend=True to resolve an unset platform via the live backend.
+    platforms = str(jax.config.jax_platforms or "")
+    names = [p for p in platforms.split(",") if p]
+    if "cpu" in names:
         return ""
+    if not names:
+        if not probe_backend:
+            return ""
+        if jax.default_backend() == "cpu":
+            return ""
     cache_dir = (
         cache_dir
         or os.environ.get("FITHUBERT_CACHE_DIR")

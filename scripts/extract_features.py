@@ -50,7 +50,7 @@ def main():
     from fithubert_tpu.export.expert import UpstreamExpert
     from fithubert_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache(probe_backend=True)
     expert = UpstreamExpert(args.ckpt, args.config)
     os.makedirs(args.out, exist_ok=True)
 

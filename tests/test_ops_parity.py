@@ -193,3 +193,48 @@ def test_grad_multiply():
 
     g = jax.grad(lambda x: jnp.sum(grad_multiply(x, 0.25) ** 2))(jnp.ones((4,)))
     np.testing.assert_allclose(np.asarray(g), 0.5 * np.ones(4), rtol=1e-6)
+
+
+def test_scan_layers_equals_unrolled():
+    """The scanned encoder must match the unrolled loop on the same params
+    to float-reassociation tolerance (scan is the CPU default while TPU
+    ships unrolled — real divergence would make test coverage lie about
+    prod; XLA fuses the two program shapes differently, so bit equality is
+    not expected)."""
+    import dataclasses
+
+    from fithubert_tpu.config import StudentConfig
+    from fithubert_tpu.ops.transformer import TransformerEncoder
+
+    base = StudentConfig(
+        encoder_layers=3, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        enable_tr_layer=True, tr_layer_type="conv1d", tr_layer_index=1,
+        tr_reduce_factor=2, required_seq_len_multiple=1,
+        use_pallas_attention=False, dropout=0.0, attention_dropout=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 24, 32)), jnp.float32
+    )
+    mask = jnp.zeros((2, 24), bool).at[1, 16:].set(True)
+
+    outs = {}
+    for scan in (False, True):
+        cfg = dataclasses.replace(base, scan_layers=scan)
+        enc = TransformerEncoder(cfg=cfg)
+        if scan is False:
+            variables = enc.init(jax.random.PRNGKey(0), x, mask)
+        out = enc.apply(variables, x, mask, deterministic=True)
+        outs[scan] = out
+    np.testing.assert_allclose(
+        np.asarray(outs[True].x), np.asarray(outs[False].x),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert len(outs[True].layer_results) == len(outs[False].layer_results) == 3
+    for (h1, _t1, l1), (h0, _t0, l0) in zip(
+        outs[True].layer_results, outs[False].layer_results
+    ):
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-5, atol=1e-6)

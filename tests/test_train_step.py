@@ -307,3 +307,36 @@ def test_fake_rows_contribute_no_loss():
         )
         losses[name] = float(logs["total"])
     np.testing.assert_allclose(losses["padded"], losses["real"], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fake_rows_contribute_no_loss_train_path():
+    """Same invariant as test_fake_rows_contribute_no_loss but through the
+    FULL train step (covers the fake-row weighting under the accum-fused
+    reduction and the gradient path)."""
+    import dataclasses as dc
+
+    cfg = tiny_cfg()
+    cfg = dc.replace(cfg, loss=dc.replace(cfg.loss, sim_loss_weight=1.0))
+    rng = jax.random.PRNGKey(0)
+    t_wav = 4000
+    wav2 = jax.random.normal(rng, (1, 2, t_wav)) * 0.1
+    mask2 = jnp.zeros((1, 2, t_wav), bool).at[:, 1, t_wav // 2 :].set(True)
+    wav3 = jnp.concatenate([wav2, jnp.zeros((1, 1, t_wav))], axis=1)
+    mask3 = jnp.concatenate([mask2, jnp.ones((1, 1, t_wav), bool)], axis=1)
+
+    out = {}
+    for name, (w, m) in {"real": (wav2, mask2), "padded": (wav3, mask3)}.items():
+        d = Distiller(cfg, mesh=make_mesh(1), num_training_steps=10,
+                      teacher_geometry=tiny_teacher_geometry())
+        tp = d.init_teacher_params(rng, w[0])
+        state = d.init_state(jax.random.PRNGKey(1), w[0])
+        _s, logs = d.make_train_step()(
+            state, tp, {"x": w, "padding_mask": m},
+            jnp.zeros((1,), jnp.int32), rng,
+        )
+        out[name] = {k: float(v) for k, v in logs.items()}
+    np.testing.assert_allclose(out["padded"]["loss"], out["real"]["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        out["padded"]["grad_norm"], out["real"]["grad_norm"], rtol=1e-4
+    )
