@@ -224,3 +224,32 @@ def test_row_masked_batchnorm_ignores_fake_rows():
     np.testing.assert_allclose(
         np.asarray(bs_padded["var"]), np.asarray(bs_real["var"]), rtol=1e-5
     )
+
+
+def test_large_teacher_geometry_constructs():
+    """HuBERT/WavLM-Large-shaped teacher (24 x 1024, pre-LN, layer_norm
+    extractor, biased convs) traces end to end — the BASELINE stretch
+    target's geometry. eval_shape only: no compile, stays in the fast tier
+    (the layer semantics at this architecture are covered by the pre-LN /
+    layer_norm-mode golden-parity teacher tests)."""
+    from fithubert_tpu.models import TeacherGeometry, TeacherModel
+
+    geom = TeacherGeometry(
+        model_type="hubert", extractor_mode="layer_norm",
+        layer_norm_first=True, encoder_layers=24, encoder_embed_dim=1024,
+        encoder_ffn_embed_dim=4096, encoder_attention_heads=16,
+        conv_bias=True, use_pallas_attention=False, use_pallas_conv=False,
+    )
+    model = TeacherModel(geometry=geom)
+    wav = jnp.zeros((1, 16000), jnp.float32)
+    mask = jnp.zeros((1, 16000), bool)
+    out = jax.eval_shape(
+        lambda w, m: model.init(jax.random.PRNGKey(0), w, m), wav, mask
+    )
+    assert "params" in out
+    shapes = jax.eval_shape(
+        lambda v, w, m: model.apply(v, w, m),
+        out, wav, mask,
+    )
+    assert shapes.x.shape == (1, 49, 1024)
+    assert len(shapes.layer_results) == 24
