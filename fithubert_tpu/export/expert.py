@@ -36,6 +36,7 @@ class UpstreamExpert:
         ckpt: str,
         model_config: str,
         length_quantum: int = 16000,
+        **kwargs,  # s3prl passes hub kwargs (e.g. refresh) through hubconf
     ):
         import jax
 
@@ -46,14 +47,10 @@ class UpstreamExpert:
 
             cfg, variables = load_reference_student(ckpt, model_config)
         else:  # our export pair
-            from flax import serialization
+            from fithubert_tpu.train.checkpoint import load_student_export
 
             cfg = load_yaml_config(model_config)
-            with open(ckpt, "rb") as f:
-                raw = f.read()
-            variables = {"params": serialization.msgpack_restore(raw)}
-            if "params" in variables["params"]:
-                variables = variables["params"]
+            variables = load_student_export(ckpt)
 
         import dataclasses
 
@@ -74,7 +71,8 @@ class UpstreamExpert:
         for key in list(params):
             if key.startswith("proj_head_") and key != last:
                 del params[key]
-        self._variables = {"params": params}
+        # keep extra collections (conformer batch_stats) alongside params
+        self._variables = {**variables, "params": params}
 
         @jax.jit
         def _forward(variables, wav, mask):

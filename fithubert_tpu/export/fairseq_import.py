@@ -134,6 +134,13 @@ def _extract_model_cfg(ckpt: Dict[str, Any]) -> Dict[str, Any]:
             return model
     args = unstub(ckpt.get("args"))
     if isinstance(args, dict):
+        # legacy fine-tune (wav2vec_ctc) checkpoints nest the acoustic
+        # model's config under args.w2v_args, same as the cfg branch
+        inner = args.get("w2v_args")
+        if isinstance(inner, dict):
+            inner_model = inner.get("model") if isinstance(inner.get("model"), dict) else inner
+            return {**inner_model, **{k: v for k, v in args.items()
+                                      if k != "w2v_args"}}
         return args
     return {}
 

@@ -74,11 +74,18 @@ def tolerant_torch_load(path: str) -> Dict[str, Any]:
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _finder)
         installed = True
+    before = set(sys.modules)
     try:
         return torch.load(path, map_location="cpu", weights_only=False)
     finally:
         if installed:
             sys.meta_path.remove(_finder)
+        # drop any stub modules the unpickle imported: leaving them in
+        # sys.modules would permanently shadow later REAL imports of e.g.
+        # omegaconf/lightning with attribute-fabricating stubs
+        for name in set(sys.modules) - before:
+            if isinstance(sys.modules.get(name), _StubModule):
+                del sys.modules[name]
 
 
 def unstub(obj: Any) -> Any:

@@ -53,13 +53,20 @@ class CheckpointManager:
         return self._last.latest_step()
 
     def restore(self, state_template, step: Optional[int] = None):
-        """Restore into the structure of `state_template` (abstract ok)."""
-        step = step if step is not None else self._last.latest_step()
+        """Restore into the structure of `state_template` (abstract ok).
+
+        An explicit `step` is looked up in BOTH managers: last/ keeps only
+        the newest step, while historical steps survive under best/."""
         if step is None:
-            return None
-        return self._last.restore(
-            step, args=ocp.args.StandardRestore(state_template)
+            step = self._last.latest_step()
+            if step is None:
+                return None
+        mgr = (
+            self._last if step in (self._last.all_steps() or []) else self._best
         )
+        if step not in (mgr.all_steps() or []):
+            return None
+        return mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
     def restore_best(self, state_template):
         step = self._best.best_step()
@@ -69,24 +76,33 @@ class CheckpointManager:
 
 
 def export_student(
-    cfg: ExperimentConfig, student_params: Any, out_dir: str, tag: str = "student"
+    cfg: ExperimentConfig, student_params: Any, out_dir: str,
+    tag: str = "student", extra_vars: Any = None,
 ) -> Tuple[str, str]:
     """Write the (config yaml, weights msgpack) export pair.
 
     This is the framework's equivalent of the Lightning-ckpt +
     dumped-yaml pair the reference s3prl expert loads (fithubert/expert.py:
-    25-45, stripping the 'student_model.' prefix); ours stores the student
-    params pytree directly."""
+    25-45, stripping the 'student_model.' prefix); ours stores the full
+    variables dict — params plus any extra collections (conformer students
+    carry 'batch_stats' running statistics the expert needs at inference)."""
     os.makedirs(out_dir, exist_ok=True)
     yaml_path = os.path.join(out_dir, f"{tag}.yaml")
     dump_yaml_config(cfg, yaml_path)
     weights_path = os.path.join(out_dir, f"{tag}.msgpack")
-    params = jax.device_get(student_params)
+    variables = {"params": jax.device_get(student_params)}
+    for k, v in (jax.device_get(extra_vars) or {}).items():
+        variables[k] = v
     with open(weights_path, "wb") as f:
-        f.write(serialization.to_bytes(params))
+        f.write(serialization.to_bytes(variables))
     return yaml_path, weights_path
 
 
-def load_student_export(yaml_path: str, weights_path: str, params_template: Any):
+def load_student_export(weights_path: str):
+    """Read an export msgpack -> variables dict ({'params': ..., possibly
+    'batch_stats': ...}). Accepts the older bare-params layout too."""
     with open(weights_path, "rb") as f:
-        return serialization.from_bytes(params_template, f.read())
+        variables = serialization.msgpack_restore(f.read())
+    if "params" not in variables:
+        variables = {"params": variables}
+    return variables

@@ -82,6 +82,11 @@ def run_training(
     from fithubert_tpu.parallel.distributed import maybe_initialize
 
     host_id, num_hosts = maybe_initialize()
+    # safe to probe the backend now (distributed runtime is up): enables the
+    # persistent TPU compile cache for unset-platform runs; no-op on CPU
+    from fithubert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(probe_backend=True)
     out_dir = cfg.train.output_dir
     os.makedirs(out_dir, exist_ok=True)
     if host_id == 0:
@@ -359,7 +364,8 @@ def run_training(
     guard.restore()
     ckpt.wait()
     if host_id == 0:
-        export_student(cfg, state.params, out_dir, tag="student")
+        export_student(cfg, state.params, out_dir, tag="student",
+                       extra_vars=state.extra_vars)
     logger.close()
     return {"best_v_loss": best_v, "steps": global_step,
             "preempted": guard.should_stop}

@@ -23,7 +23,14 @@ class MetricsLogger:
             try:
                 rec[prefix + k] = float(v)
             except (TypeError, ValueError):
-                rec[prefix + k] = v
+                # JSON-safe fallback: arrays become lists, anything else str
+                # (a raw ndarray would crash json.dumps mid-training)
+                if hasattr(v, "tolist"):
+                    rec[prefix + k] = v.tolist()
+                elif isinstance(v, (str, int, bool, list, dict, type(None))):
+                    rec[prefix + k] = v
+                else:
+                    rec[prefix + k] = str(v)
         self._f.write(json.dumps(rec) + "\n")
         if echo:
             shown = {k: v for k, v in rec.items() if k not in ("time",)}

@@ -55,7 +55,14 @@ class StepTimer:
     def tick(self, sync_target=None, audio_sec: float = 0.0) -> Dict[str, float]:
         now = time.perf_counter()
         if self._t0 is None:
+            # the first tick only anchors the clock: its step covers the jit
+            # compile, and counting it would both inflate the step count and
+            # pollute the rate with compile time
             self._t0 = now
+            return {
+                "steps_per_sec": self.steps_per_sec,
+                "audio_sec_per_sec": self.audio_sec_per_sec,
+            }
         self._n += 1
         self._audio += audio_sec
         if self._n % self.sync_every == 0 and sync_target is not None:

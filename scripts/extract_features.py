@@ -54,6 +54,16 @@ def main():
     expert = UpstreamExpert(args.ckpt, args.config)
     os.makedirs(args.out, exist_ok=True)
 
+    # unique output names: same-basename inputs from different directories
+    # must not silently overwrite each other
+    names = {}
+    seen = {}
+    for p in args.inputs:
+        base = os.path.splitext(os.path.basename(p))[0]
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        names[p] = base if n == 0 else f"{base}.{n}"
+
     for i in range(0, len(args.inputs), args.batch_size):
         paths = args.inputs[i : i + args.batch_size]
         wavs = [audio.decode(p) for p in paths]
@@ -74,7 +84,7 @@ def main():
                 n_frames = int((~pad[j]).sum()) * factor
             else:
                 n_frames = feats.shape[1]
-            name = os.path.splitext(os.path.basename(p))[0] + ".npy"
+            name = names[p] + ".npy"
             np.save(os.path.join(args.out, name),
                     np.asarray(feats[j][:n_frames]))
         print(f"[extract] {min(i + args.batch_size, len(args.inputs))}/"

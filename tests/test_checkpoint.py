@@ -64,8 +64,29 @@ def test_export_pair_loadable(tmp_path):
     yaml_path, weights_path = export_student(cfg, params, str(tmp_path))
     cfg2 = load_yaml_config(yaml_path)
     assert cfg2.distiller.encoder_layers == cfg.distiller.encoder_layers
-    with open(weights_path, "rb") as f:
-        restored = serialization.from_bytes(jax.device_get(params), f.read())
+    from fithubert_tpu.train.checkpoint import load_student_export
+
+    variables = load_student_export(weights_path)
     np.testing.assert_array_equal(
-        np.asarray(restored["layer"]["kernel"]), np.ones((3, 5))
+        np.asarray(variables["params"]["layer"]["kernel"]), np.ones((3, 5))
+    )
+
+
+def test_export_pair_with_batch_stats(tmp_path):
+    """Conformer students carry batch_stats; the export pair must round-trip
+    them (without them the expert cannot run the exported model)."""
+    from fithubert_tpu.config import ExperimentConfig
+    from fithubert_tpu.train.checkpoint import load_student_export
+
+    cfg = ExperimentConfig()
+    params = {"layer": {"kernel": jnp.ones((3, 5))}}
+    extras = {"batch_stats": {"bn": {"mean": jnp.full((5,), 2.0)}}}
+    _, weights_path = export_student(cfg, params, str(tmp_path), tag="conf",
+                                     extra_vars=extras)
+    variables = load_student_export(weights_path)
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["bn"]["mean"]), np.full((5,), 2.0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["layer"]["kernel"]), np.ones((3, 5))
     )
