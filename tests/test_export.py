@@ -326,3 +326,32 @@ def test_extract_features_cli(tmp_path):
     assert f1.shape[0] == n1 and n1 < n0
     np.testing.assert_allclose(f0, ref["last_hidden_state"][0][:n0], atol=1e-5)
     assert np.isfinite(f0).all()
+
+
+def test_expert_from_conformer_export(tmp_path):
+    """Conformer students carry batch_stats: the export pair must feed the
+    expert a complete variables dict or apply() dies looking up the
+    missing collection (round-1..4 review finding)."""
+    import dataclasses
+
+    from fithubert_tpu.export.expert import UpstreamExpert
+    from fithubert_tpu.train.checkpoint import export_student
+
+    cfg_c = dataclasses.replace(
+        STUDENT_CFG, layer_type="conformer", pos_enc_type="rel_pos",
+        enable_tr_layer=False,
+    )
+    cfg = ExperimentConfig(distiller=cfg_c)
+    model = StudentModel(cfg=cfg_c)
+    wav = jnp.zeros((1, 4000))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, wav, jnp.zeros((1, 4000), bool)
+    )
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    assert "batch_stats" in extra  # the collection under test
+    yaml_path, weights_path = export_student(
+        cfg, variables["params"], str(tmp_path), tag="conf", extra_vars=extra
+    )
+    expert = UpstreamExpert(weights_path, yaml_path, length_quantum=2000)
+    out = expert([np.zeros(3000, np.float32)])
+    assert np.isfinite(np.asarray(out["last_hidden_state"])).all()
