@@ -3,15 +3,26 @@
 
 Prints TWO JSON lines (the driver parses the LAST line as the headline):
 
-  1. {"metric": "kd_train_step_steps_per_sec", ...}  — the fused KD train
-     step (teacher fwd + student fwd/bwd + loss + AdamW in one jitted graph)
-     at the training config of record: batch 3 x grad-accum 4, 12 s
-     utterances, bf16 (reference data/conf/fithubert.yaml:7-11,91-97). Also
-     carries audio-sec/sec/chip and an analytic-FLOPs MFU estimate.
-  2. {"metric": "student_fwd_audio_sec_per_sec_per_chip", ...} — student
+  1. {"metric": "student_fwd_audio_sec_per_sec_per_chip", ...} — student
      forward throughput; north-star target >= 2000x real-time (BASELINE.md).
-     Carries the train-step numbers again under "extra" so a single-line
-     consumer still sees everything.
+  2. {"metric": "kd_train_step_steps_per_sec", ...}  — THE HEADLINE: the
+     fused KD train step (teacher fwd + student fwd/bwd + loss + AdamW in one
+     jitted graph) at the training config of record: batch 3 x grad-accum 4,
+     12 s utterances, bf16 (reference data/conf/fithubert.yaml:7-11,91-97).
+     Carries audio-sec/sec/chip, an analytic-FLOPs MFU estimate, and the fwd
+     numbers again under "extra" so a single-line consumer sees everything.
+
+Timing integrity (the BENCH_r02 headline was off by 186x because the fetch
+barrier silently degraded to block_until_ready — see VERDICT round 2):
+
+  - The device->host fetch path is probed with a watchdog BEFORE EVERY
+    metric; each line reports "fetch_ok". A failed probe marks the line
+    "untrusted": true — block_until_ready alone measures dispatch, not
+    execution, over the axon tunnel and is never silently substituted.
+  - Every throughput is cross-checked against the analytic-FLOPs physical
+    bound of the chip (a number implying more FLOP/s than the hardware peak
+    is marked untrusted), and the student forward is additionally bounded by
+    the rate implied by the (FLOPs-richer) train step.
 
 vs_baseline: fwd line = value / 2000 (the north-star multiple); train-step
 line = audio-sec/sec/chip / 250, where 250 = LibriSpeech-960h x 100 epochs
@@ -32,6 +43,10 @@ import numpy as np
 SR = 16_000
 FWD_TARGET = 2000.0  # x real-time, BASELINE.md north star
 TRAIN_TARGET_AUDIO_PER_SEC = 345_600_000 / (24 * 3600 * 16)  # = 250
+# The standalone forward may beat the train step's hardware efficiency
+# somewhat (bigger batch, no tiny optimizer/loss ops) but not by much; 3x is
+# a generous margin for the train-implied cross-check.
+FWD_VS_TRAIN_MFU_MARGIN = 3.0
 
 # bf16 peak FLOP/s per chip by device kind (for the MFU estimate)
 PEAK_FLOPS = {
@@ -42,36 +57,27 @@ PEAK_FLOPS = {
 }
 
 
-def _sync_factory():
-    """Strong timing barrier: block_until_ready + a device->host fetch when
-    the tunnel's fetch path is healthy (see CLAUDE.md: block_until_ready
-    alone does not reliably wait for remote execution)."""
-    import threading
+def _make_sync():
+    """(sync, fetch_ok): an honest per-call barrier + the fetch-path health.
 
+    Probes the device->host fetch path fresh (the tunnel can wedge mid-run);
+    when healthy, sync = block_until_ready + one-scalar fetch. When NOT
+    healthy, sync still block_until_ready's so the run completes, but the
+    caller MUST mark its numbers untrusted — that is the exact silent
+    degradation that produced the impossible BENCH_r02 headline."""
     import jax
-    import jax.numpy as jnp
 
-    def _probe_fetch() -> bool:
-        done = []
+    from fithubert_tpu.utils.barrier import fetch_barrier, probe_fetch
 
-        def run():
-            np.asarray(jax.device_get(jnp.zeros((1,))))
-            done.append(True)
-
-        th = threading.Thread(target=run, daemon=True)
-        th.start()
-        th.join(timeout=60.0)
-        return bool(done)
-
-    fetch_ok = _probe_fetch()
+    fetch_ok = probe_fetch(timeout=60.0)
 
     def sync(x):
-        jax.block_until_ready(x)
         if fetch_ok:
-            leaf = jax.tree.leaves(x)[0]
-            np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+            fetch_barrier(x)
+        else:
+            jax.block_until_ready(x)
 
-    return sync
+    return sync, fetch_ok
 
 
 def _zeros_like_shapes(tree):
@@ -105,20 +111,9 @@ def _encoder_flops(b, t, c, ffn, layers, heads, pos_k, pos_g, t_pos=None):
     return pos + layers * per_layer
 
 
-def _kd_step_flops(cfg, teacher_geom, b, t_wav, accum):
-    """Analytic matmul FLOPs of one optimizer step (forward-only teacher +
-    forward+backward student + projection heads), per the fithubert.yaml
-    geometry. Backward ~= 2x forward for matmul-dominated graphs."""
-    d = cfg.distiller
-    # teacher: fwd only (frozen)
-    t_fl, t_frames = _conv_stack_flops(teacher_geom.conv_feature_layers, t_wav, b)
-    t_fl += _encoder_flops(
-        b, t_frames, teacher_geom.encoder_embed_dim,
-        teacher_geom.encoder_ffn_embed_dim, teacher_geom.encoder_layers,
-        teacher_geom.encoder_attention_heads, teacher_geom.conv_pos,
-        teacher_geom.conv_pos_groups,
-    )
-    # student: fwd + bwd (3x fwd)
+def _student_fwd_flops(d, b, t_wav):
+    """Analytic matmul FLOPs of ONE student forward pass (extractor +
+    encoder + TR/upsample + projection heads) at batch b, t_wav samples."""
     s_fl, s_frames = _conv_stack_flops(d.conv_feature_layers, t_wav, b)
     t_enc = s_frames // d.tr_reduce_factor if d.enable_tr_layer else s_frames
     s_fl += _encoder_flops(
@@ -135,6 +130,23 @@ def _kd_step_flops(cfg, teacher_geom, b, t_wav, accum):
             * d.encoder_embed_dim * d.encoder_embed_dim
             + 2 * b * s_frames * d.encoder_embed_dim * d.pred_head_final_dim
         )
+    return s_fl
+
+
+def _kd_step_flops(cfg, teacher_geom, b, t_wav, accum):
+    """Analytic matmul FLOPs of one optimizer step (forward-only teacher +
+    forward+backward student + projection heads), per the fithubert.yaml
+    geometry. Backward ~= 2x forward for matmul-dominated graphs."""
+    # teacher: fwd only (frozen)
+    t_fl, t_frames = _conv_stack_flops(teacher_geom.conv_feature_layers, t_wav, b)
+    t_fl += _encoder_flops(
+        b, t_frames, teacher_geom.encoder_embed_dim,
+        teacher_geom.encoder_ffn_embed_dim, teacher_geom.encoder_layers,
+        teacher_geom.encoder_attention_heads, teacher_geom.conv_pos,
+        teacher_geom.conv_pos_groups,
+    )
+    # student: fwd + bwd (3x fwd)
+    s_fl = _student_fwd_flops(cfg.distiller, b, t_wav)
     return accum * (t_fl + 3 * s_fl)
 
 
@@ -184,7 +196,11 @@ def bench_student_fwd(platform, quick, sync):
         out = fwd(params, wav, mask)
     sync(out)
     dt = time.perf_counter() - t0
-    return (b * wav_sec * iters) / dt
+    return {
+        "value": (b * wav_sec * iters) / dt,
+        # per audio-second FLOPs of this forward, for the physical-bound check
+        "flops_per_audio_sec": _student_fwd_flops(cfg, b, t_wav) / (b * wav_sec),
+    }
 
 
 def bench_train_step(platform, quick, sync):
@@ -277,6 +293,12 @@ def bench_train_step(platform, quick, sync):
     }
 
 
+def _peak_flops(device_kind: str):
+    return next(
+        (v for k, v in PEAK_FLOPS.items() if device_kind.startswith(k)), None
+    )
+
+
 def main():
     import jax
 
@@ -284,20 +306,80 @@ def main():
 
     enable_compilation_cache(probe_backend=True)
     platform = jax.devices()[0].platform
+    kind = jax.devices()[0].device_kind
+    peak = _peak_flops(kind)
     quick = "--quick" in sys.argv
-    sync = _sync_factory()
 
-    train_line = bench_train_step(platform, quick, sync)
-    print(json.dumps(train_line), flush=True)
-
-    fwd_value = bench_student_fwd(platform, quick, sync)
-    print(json.dumps({
+    # --- student forward (printed first; the train line is the headline) ---
+    sync, fetch_ok = _make_sync()
+    fwd = bench_student_fwd(platform, quick, sync)
+    fwd_line = {
         "metric": "student_fwd_audio_sec_per_sec_per_chip",
-        "value": round(fwd_value, 2),
+        "value": round(fwd["value"], 2),
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(fwd_value / FWD_TARGET, 4),
-        "extra": {k: v for k, v in train_line.items() if k != "unit"},
-    }))
+        "vs_baseline": round(fwd["value"] / FWD_TARGET, 4),
+        "fetch_ok": fetch_ok,
+        "untrusted": not fetch_ok,
+    }
+    if not fetch_ok:
+        fwd_line["untrusted_reason"] = (
+            "device->host fetch probe failed: timed with block_until_ready "
+            "only, which measures dispatch, not execution, over the tunnel"
+        )
+    # physical bound: implied FLOP/s cannot exceed the chip's bf16 peak
+    implied = fwd["flops_per_audio_sec"] * fwd["value"]
+    if peak is not None and implied > peak:
+        fwd_line["untrusted"] = True
+        fwd_line["untrusted_reason"] = (
+            f"implied {implied / 1e12:.0f} TFLOP/s exceeds the "
+            f"{peak / 1e12:.0f} TFLOP/s peak of {kind}"
+        )
+
+    # --- KD train step: the headline (last line; driver parses the last) ---
+    sync, fetch_ok = _make_sync()  # re-probe: the fetch path can die mid-run
+    train_line = bench_train_step(platform, quick, sync)
+    train_line["fetch_ok"] = fetch_ok
+    train_line["untrusted"] = not fetch_ok
+    if not fetch_ok:
+        train_line["untrusted_reason"] = fwd_line.get(
+            "untrusted_reason",
+            "device->host fetch probe failed",
+        )
+    if peak is not None and train_line.get("mfu") and train_line["mfu"] > 1.0:
+        train_line["untrusted"] = True
+        train_line["untrusted_reason"] = (
+            f"MFU {train_line['mfu']:.2f} > 1: implied FLOP/s exceeds the "
+            f"hardware peak of {kind}"
+        )
+
+    # cross-check: at equal hardware efficiency, fwd rate = train rate x
+    # (step FLOPs / student-fwd FLOPs) per audio-second; allow a bounded
+    # efficiency margin. Only meaningful when the train line is trusted and
+    # both runs used the full (non-smoke) geometry.
+    full_geom = platform == "tpu" and not quick
+    if full_geom and not train_line["untrusted"]:
+        train_audio_rate = train_line["audio_sec_per_sec_per_chip"]
+        audio_per_step = train_audio_rate / train_line["value"]
+        train_flops_per_audio = (
+            train_line["analytic_tflops_per_step"] * 1e12 / audio_per_step
+        )
+        bound = (
+            train_audio_rate
+            * (train_flops_per_audio / fwd["flops_per_audio_sec"])
+            * FWD_VS_TRAIN_MFU_MARGIN
+        )
+        if fwd["value"] > bound:
+            fwd_line["untrusted"] = True
+            fwd_line["untrusted_reason"] = (
+                f"{fwd['value']:.0f} audio-s/s exceeds the train-step-implied "
+                f"bound of {bound:.0f} (r02 failure mode: a broken barrier)"
+            )
+
+    print(json.dumps(fwd_line), flush=True)
+    train_line["extra"] = {
+        k: v for k, v in fwd_line.items() if k not in ("unit", "extra")
+    }
+    print(json.dumps(train_line), flush=True)
 
 
 if __name__ == "__main__":

@@ -43,16 +43,31 @@ def _load_native_locked():
         os.path.join(here, "native", "audioio.cc")
     ):
         # build artifacts are not checked in; compile once on first use (this
-        # is the only FLAC decoder in environments without soundfile)
+        # is the only FLAC decoder in environments without soundfile). The
+        # threading.Lock above serializes threads in THIS process; an fcntl
+        # file lock serializes concurrent PROCESSES (multi-host launches,
+        # parallel CLIs) that would otherwise race writes to the .so.
         import subprocess
 
         try:
-            subprocess.run(
-                ["make", "-C", os.path.join(here, "native")],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            pass  # fall through to the python backends
+            import fcntl
+
+            lock_path = os.path.join(here, "native", ".build.lock")
+            with open(lock_path, "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if not os.path.exists(build):  # a peer may have built it
+                        subprocess.run(
+                            ["make", "-C", os.path.join(here, "native")],
+                            check=True, capture_output=True, timeout=120,
+                        )
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
+        except Exception as e:
+            # fall through to the python backends, but say so: a silent
+            # build failure once looked like "all decodes are zero"
+            print(f"[audio] native decoder build failed ({e!r}); "
+                  f"using python fallbacks")
     for cand in (
         build,
         os.path.join(here, "native", "libaudioio.so"),
@@ -89,8 +104,10 @@ def decode_batch(paths, t_pad: int, n_threads: int = 0):
     Returns (batch (B, t_pad) float32, lengths (B,) int64). Failed files
     decode to silence with length 0.
     """
-    lib = _load_native()
     n = len(paths)
+    if n == 0:  # fake all-padding microbatch (trailing accum-group square-off)
+        return np.zeros((0, t_pad), np.float32), np.zeros(0, np.int64)
+    lib = _load_native()
     if lib is not None and all(
         p.lower().endswith((".flac", ".wav")) for p in paths
     ):

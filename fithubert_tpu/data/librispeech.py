@@ -20,6 +20,7 @@ import csv
 import os
 import queue
 import threading
+import uuid
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -63,8 +64,18 @@ def scan_split(libri_root: str, split: str) -> List[Tuple[str, int]]:
                 continue
             full = os.path.join(dirpath, fn)
             n = flac_num_samples(full) if fn.endswith(".flac") else len(audio.decode(full))
+            if n <= 0 and fn.endswith(".flac"):
+                # header read failed (non-native-FLAC container, or a
+                # STREAMINFO with unknown total_samples == 0): fall back to a
+                # full decode rather than silently dropping the utterance
+                try:
+                    n = len(audio.decode(full))
+                except (RuntimeError, OSError):
+                    n = -1
             if n > 0:
                 rows.append((os.path.relpath(full, libri_root), n))
+            else:
+                print(f"[data] skipping undecodable file: {full}")
     return rows
 
 
@@ -82,8 +93,10 @@ def generate_bucket_csv(libri_root: str, split: str, out_dir: str) -> str:
     out_path = os.path.join(out_dir, f"{split}.csv")
     # atomic write: concurrent hosts racing the auto-generation must only
     # ever see an absent or a COMPLETE csv (both writers produce identical
-    # content thanks to the sorted scan, so last-rename-wins is harmless)
-    tmp_path = f"{out_path}.tmp.{os.getpid()}"
+    # content thanks to the sorted scan, so last-rename-wins is harmless).
+    # The tmp name carries a uuid: on a shared filesystem two HOSTS can share
+    # a pid, and a pid-only suffix would interleave their writes.
+    tmp_path = f"{out_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["file_path", "length"])
         w.writeheader()
@@ -216,7 +229,10 @@ class BucketedLibriSpeech:
             )
 
     def __len__(self) -> int:
-        return len(self.buckets) // self.accum
+        # ceil: the trailing partial accum group trains too (padded with fake
+        # all-padding microbatches), matching the reference where Lightning
+        # accumulates whatever arrives (reference train.py:471,499)
+        return -(-len(self.buckets) // self.accum)
 
     def _load_bucket(self, bucket, t_pad: int, u_pad: int = 0):
         # this host's row stripe of the (conceptually batch_size-padded)
@@ -254,14 +270,23 @@ class BucketedLibriSpeech:
         return x, mask, labels, label_pads, transcripts
 
     def _build_group(self, group) -> Dict[str, np.ndarray]:
-        """Load + pad one accum group of buckets into an (A, B, T) batch."""
-        bs = [self.buckets[int(g)] for g in group]
+        """Load + pad one accum group of buckets into an (A, B, T) batch.
+
+        A bucket index of -1 is a FAKE microbatch (all-padding rows) used to
+        square off the trailing partial accum group — previously those
+        buckets were silently dropped every epoch. The loss masks fabricated
+        rows out of every reduction; in the accum-scan path the 1/accum
+        gradient scale then matches Lightning's treatment of a partial
+        trailing window (the fused path computes the equally valid global
+        weighted mean — see the caveat note in train/step.py)."""
+        bs = [self.buckets[int(g)] if int(g) >= 0 else [] for g in group]
         t_pad = max(
             quantize_length(
                 max(l for (_p, l) in b), self.cfg.length_quantum,
                 self.cfg.max_wav_length,
             )
             for b in bs
+            if b
         )
         # label width scales with audio length (~1 char / 400 samples is a
         # safe LibriSpeech upper bound), quantized for shape stability
@@ -281,9 +306,11 @@ class BucketedLibriSpeech:
         order = np.arange(len(self.buckets))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+        pad = (-len(order)) % self.accum
+        if pad:  # square off the trailing group with fake (-1) microbatches
+            order = np.concatenate([order, np.full(pad, -1, order.dtype)])
         return [
-            order[i : i + self.accum]
-            for i in range(0, len(order) - self.accum + 1, self.accum)
+            order[i : i + self.accum] for i in range(0, len(order), self.accum)
         ]
 
     def first_batch(self) -> Dict[str, np.ndarray]:

@@ -126,21 +126,27 @@ def _extract_model_cfg(ckpt: Dict[str, Any]) -> Dict[str, Any]:
     if isinstance(cfg, dict):
         model = cfg.get("model")
         if isinstance(model, dict):
-            # wav2vec_ctc nests the acoustic model under w2v_args
+            # wav2vec_ctc nests the acoustic model under w2v_args. The INNER
+            # model config wins on conflicts: fairseq builds the acoustic
+            # model purely from w2v_args.model (reference utils/utils.py:
+            # 104-115), and the outer fine-tune args carry ctc-level fields
+            # (dropout, final_dropout...) that must not override acoustic
+            # hyperparameters.
             inner = model.get("w2v_args")
             if isinstance(inner, dict) and isinstance(inner.get("model"), dict):
-                return {**inner["model"], **{k: v for k, v in model.items()
-                                             if k != "w2v_args"}}
+                return {**{k: v for k, v in model.items() if k != "w2v_args"},
+                        **inner["model"]}
             return model
     args = unstub(ckpt.get("args"))
     if isinstance(args, dict):
         # legacy fine-tune (wav2vec_ctc) checkpoints nest the acoustic
         # model's config under args.w2v_args, same as the cfg branch
+        # (inner wins on conflicts, same rationale)
         inner = args.get("w2v_args")
         if isinstance(inner, dict):
             inner_model = inner.get("model") if isinstance(inner.get("model"), dict) else inner
-            return {**inner_model, **{k: v for k, v in args.items()
-                                      if k != "w2v_args"}}
+            return {**{k: v for k, v in args.items() if k != "w2v_args"},
+                    **inner_model}
         return args
     return {}
 

@@ -53,7 +53,13 @@ _STUB_ROOTS = ("omegaconf", "fairseq", "hydra", "pytorch_lightning", "lightning"
 class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
     def find_spec(self, fullname, path=None, target=None):
         if fullname.split(".")[0] in _STUB_ROOTS:
-            return importlib.machinery.ModuleSpec(fullname, self)
+            # is_package: real checkpoints reference SUBmodule classes
+            # (omegaconf.dictconfig.DictConfig, omegaconf.nodes.AnyNode...);
+            # without a package spec the child import dies with
+            # "'omegaconf' is not a package" before the stub ever loads
+            return importlib.machinery.ModuleSpec(
+                fullname, self, is_package=True
+            )
         return None
 
     def create_module(self, spec):

@@ -45,6 +45,12 @@ class CheckpointManager:
         self._best.save(step, args=args, metrics={"v_loss": float(v_loss)})
         self._last.save(step, args=ocp.args.StandardSave(state))
 
+    def save_last(self, step: int, state) -> None:
+        """Resumable snapshot WITHOUT a v_loss metric — preemption saves land
+        here: routing them through save(v_loss=inf) would let an inf-metric
+        snapshot occupy one of the k best/ slots early in training."""
+        self._last.save(step, args=ocp.args.StandardSave(state))
+
     def wait(self) -> None:
         self._best.wait_until_finished()
         self._last.wait_until_finished()

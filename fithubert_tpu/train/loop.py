@@ -329,8 +329,9 @@ def run_training(
             if check_stop and _sync_flag(guard.should_stop):
                 guard.should_stop = True  # a peer host was preempted
                 if host_id == 0:
-                    ckpt.save(global_step, jax.device_get(state),
-                              v_loss=float("inf"))
+                    # last/ only: a preemption snapshot has no v_loss and must
+                    # not occupy a best/ slot (VERDICT r2 weak #5)
+                    ckpt.save_last(global_step, jax.device_get(state))
                     ckpt.wait()
                     print(f"[preemption] checkpointed step {global_step}; exiting")
                 stop = True

@@ -40,12 +40,17 @@ class StepTimer:
     """Rolling steps/sec + device-time accounting.
 
     `tick(audio_sec)` after each step; sync_every controls how often a real
-    device barrier is taken (block_until_ready on a step output) so timing
-    stays honest without serializing every step.
-    """
+    device barrier is taken on a step output so timing stays honest without
+    serializing every step. The barrier is the fetch-based one from
+    utils/barrier.py: over the axon tunnel block_until_ready alone returns
+    before remote execution finishes, which would inflate steps/sec (the same
+    failure that produced the bogus BENCH_r02 headline)."""
 
-    def __init__(self, sync_every: int = 20):
+    def __init__(self, sync_every: int = 20, barrier=None):
+        from fithubert_tpu.utils.barrier import fetch_barrier
+
         self.sync_every = max(1, sync_every)
+        self._barrier = barrier if barrier is not None else fetch_barrier
         self._n = 0
         self._t0: Optional[float] = None
         self._audio = 0.0
@@ -66,7 +71,7 @@ class StepTimer:
         self._n += 1
         self._audio += audio_sec
         if self._n % self.sync_every == 0 and sync_target is not None:
-            jax.block_until_ready(sync_target)
+            self._barrier(sync_target)
             now = time.perf_counter()
         dt = max(now - self._t0, 1e-9)
         self.steps_per_sec = self._n / dt

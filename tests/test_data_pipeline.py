@@ -137,3 +137,58 @@ def test_grad_accum_grouping(corpus):
                              shuffle=False)
     b = next(iter(ds.epoch(0)))
     assert b["x"].shape[0] == 2  # A microbatches
+
+
+def test_trailing_accum_group_trains_every_bucket(corpus):
+    """With accum=2 over 3 buckets, the trailing bucket must still be
+    yielded (squared off with a fake all-padding microbatch) — the reference
+    trains every batch Lightning delivers (train.py:471,499); dropping up to
+    accum-1 buckets per epoch was a silent data-coverage deviation."""
+    root, split = corpus
+    ds = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, accum=2,
+                             shuffle=False)
+    assert len(ds.buckets) == 3
+    assert len(ds) == 2  # ceil(3 / 2)
+    batches = list(ds.epoch(0))
+    assert len(batches) == 2
+    # every real utterance appears exactly once across the epoch
+    real_rows = sum(
+        int((~b["padding_mask"][a]).any(axis=-1).sum())
+        for b in batches
+        for a in range(b["x"].shape[0])
+    )
+    assert real_rows == 6
+    # the fake microbatch is fully padded and silent
+    last = batches[-1]
+    assert last["x"].shape[0] == 2
+    assert bool(last["padding_mask"][1].all())
+    assert np.all(last["x"][1] == 0.0)
+
+
+def test_trailing_accum_group_step_is_finite(corpus):
+    """A step batch whose last microbatch is entirely fabricated must flow
+    through the jitted train step with a finite loss and finite grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from fithubert_tpu.parallel import make_mesh
+    from fithubert_tpu.train.step import Distiller
+    from tests.test_train_step import tiny_cfg, tiny_teacher_geometry
+
+    root, split = corpus
+    ds = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, accum=2,
+                             shuffle=False)
+    batch = list(ds.epoch(0))[-1]  # trailing group: [real bucket, fake]
+    cfg = tiny_cfg()
+    d = Distiller(cfg, mesh=make_mesh(1), num_training_steps=10,
+                  teacher_geometry=tiny_teacher_geometry())
+    rng = jax.random.PRNGKey(0)
+    wav = jnp.asarray(batch["x"], jnp.float32)
+    mask = jnp.asarray(batch["padding_mask"])
+    tp = d.init_teacher_params(rng, wav[0])
+    state = d.init_state(jax.random.PRNGKey(1), wav[0])
+    step = d.make_train_step()
+    state, logs = step(state, tp, {"x": wav, "padding_mask": mask},
+                       jnp.zeros((1,), jnp.int32), rng)
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["grad_norm"]))

@@ -1,0 +1,47 @@
+"""Honest timing barriers (utils/barrier.py) + StepTimer wiring.
+
+Over the axon tunnel, jax.block_until_ready does NOT reliably wait for
+remote execution; the one honest barrier is a device->host fetch. BENCH_r02's
+headline was 186x too fast because the bench silently degraded to
+block_until_ready — these tests pin the replacement contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fithubert_tpu.utils.barrier import fetch_barrier, probe_fetch
+from fithubert_tpu.utils.profiling import StepTimer
+
+
+def test_probe_fetch_healthy_backend():
+    assert probe_fetch(timeout=30.0) is True
+
+
+def test_fetch_barrier_accepts_trees_and_scalars():
+    fetch_barrier(jnp.ones((4, 4)))
+    fetch_barrier({"a": jnp.zeros((2,)), "b": jnp.ones((3, 3))})
+    fetch_barrier(jnp.float32(1.0))
+
+
+def test_steptimer_uses_fetch_barrier_by_default():
+    """The default barrier must be the fetch-based one — a plain
+    block_until_ready default silently reintroduces the r02 failure."""
+    timer = StepTimer(sync_every=1)
+    assert timer._barrier is fetch_barrier
+
+
+def test_steptimer_barrier_actually_called():
+    calls = []
+
+    def spy(x):
+        calls.append(x)
+        fetch_barrier(x)
+
+    timer = StepTimer(sync_every=2, barrier=spy)
+    x = jnp.ones(())
+    for _ in range(5):
+        timer.tick(sync_target=x, audio_sec=1.0)
+    # first tick anchors the clock (no barrier); ticks 2 and 4 sync
+    assert len(calls) == 2
+    assert timer.steps_per_sec > 0
+    assert np.isclose(timer.audio_sec_per_sec / timer.steps_per_sec, 1.0)
