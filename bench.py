@@ -299,6 +299,47 @@ def _peak_flops(device_kind: str):
     )
 
 
+def apply_integrity_checks(fwd_line, fwd, train_line, peak, kind, full_geom):
+    """Mark physically impossible or cross-inconsistent results untrusted.
+
+    Mutates the two JSON lines in place (unit-tested in tests/test_bench.py):
+      - fwd implied FLOP/s > hardware peak -> fwd untrusted
+      - train MFU > 1 -> train untrusted
+      - fwd rate > train-step-implied bound x margin -> fwd untrusted
+        (only when the train line is trusted and both ran the full geometry)
+    """
+    implied = fwd["flops_per_audio_sec"] * fwd["value"]
+    if peak is not None and implied > peak:
+        fwd_line["untrusted"] = True
+        fwd_line["untrusted_reason"] = (
+            f"implied {implied / 1e12:.0f} TFLOP/s exceeds the "
+            f"{peak / 1e12:.0f} TFLOP/s peak of {kind}"
+        )
+    if peak is not None and train_line.get("mfu") and train_line["mfu"] > 1.0:
+        train_line["untrusted"] = True
+        train_line["untrusted_reason"] = (
+            f"MFU {train_line['mfu']:.2f} > 1: implied FLOP/s exceeds the "
+            f"hardware peak of {kind}"
+        )
+    if full_geom and not train_line["untrusted"] and not fwd_line["untrusted"]:
+        train_audio_rate = train_line["audio_sec_per_sec_per_chip"]
+        audio_per_step = train_audio_rate / train_line["value"]
+        train_flops_per_audio = (
+            train_line["analytic_tflops_per_step"] * 1e12 / audio_per_step
+        )
+        bound = (
+            train_audio_rate
+            * (train_flops_per_audio / fwd["flops_per_audio_sec"])
+            * FWD_VS_TRAIN_MFU_MARGIN
+        )
+        if fwd["value"] > bound:
+            fwd_line["untrusted"] = True
+            fwd_line["untrusted_reason"] = (
+                f"{fwd['value']:.0f} audio-s/s exceeds the train-step-implied "
+                f"bound of {bound:.0f} (r02 failure mode: a broken barrier)"
+            )
+
+
 def main():
     import jax
 
@@ -326,14 +367,6 @@ def main():
             "device->host fetch probe failed: timed with block_until_ready "
             "only, which measures dispatch, not execution, over the tunnel"
         )
-    # physical bound: implied FLOP/s cannot exceed the chip's bf16 peak
-    implied = fwd["flops_per_audio_sec"] * fwd["value"]
-    if peak is not None and implied > peak:
-        fwd_line["untrusted"] = True
-        fwd_line["untrusted_reason"] = (
-            f"implied {implied / 1e12:.0f} TFLOP/s exceeds the "
-            f"{peak / 1e12:.0f} TFLOP/s peak of {kind}"
-        )
 
     # --- KD train step: the headline (last line; driver parses the last) ---
     sync, fetch_ok = _make_sync()  # re-probe: the fetch path can die mid-run
@@ -345,35 +378,15 @@ def main():
             "untrusted_reason",
             "device->host fetch probe failed",
         )
-    if peak is not None and train_line.get("mfu") and train_line["mfu"] > 1.0:
-        train_line["untrusted"] = True
-        train_line["untrusted_reason"] = (
-            f"MFU {train_line['mfu']:.2f} > 1: implied FLOP/s exceeds the "
-            f"hardware peak of {kind}"
-        )
 
-    # cross-check: at equal hardware efficiency, fwd rate = train rate x
-    # (step FLOPs / student-fwd FLOPs) per audio-second; allow a bounded
-    # efficiency margin. Only meaningful when the train line is trusted and
-    # both runs used the full (non-smoke) geometry.
-    full_geom = platform == "tpu" and not quick
-    if full_geom and not train_line["untrusted"]:
-        train_audio_rate = train_line["audio_sec_per_sec_per_chip"]
-        audio_per_step = train_audio_rate / train_line["value"]
-        train_flops_per_audio = (
-            train_line["analytic_tflops_per_step"] * 1e12 / audio_per_step
-        )
-        bound = (
-            train_audio_rate
-            * (train_flops_per_audio / fwd["flops_per_audio_sec"])
-            * FWD_VS_TRAIN_MFU_MARGIN
-        )
-        if fwd["value"] > bound:
-            fwd_line["untrusted"] = True
-            fwd_line["untrusted_reason"] = (
-                f"{fwd['value']:.0f} audio-s/s exceeds the train-step-implied "
-                f"bound of {bound:.0f} (r02 failure mode: a broken barrier)"
-            )
+    # cross-checks: physical peak bound + train-step-implied bound (at equal
+    # hardware efficiency, fwd rate = train rate x FLOPs ratio per
+    # audio-second; margin for batch effects). The latter only when the train
+    # line is trusted and both runs used the full (non-smoke) geometry.
+    apply_integrity_checks(
+        fwd_line, fwd, train_line, peak, kind,
+        full_geom=(platform == "tpu" and not quick),
+    )
 
     print(json.dumps(fwd_line), flush=True)
     train_line["extra"] = {

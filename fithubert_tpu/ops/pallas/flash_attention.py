@@ -365,6 +365,7 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    force_kernel: bool = False,
 ) -> jnp.ndarray:
     """Flash attention entry point. Falls back to the XLA path off-TPU or for
     shapes the kernel does not support (tiny or unaligned T). Under an active
@@ -390,8 +391,10 @@ def flash_attention(
     # the kernel streams in VMEM (199 ms). So: XLA while the materialized
     # T x T logits (+ backward copies, ~3x) stay well inside HBM, kernel
     # beyond. FitHuBERT never exceeds ~1756 frames, far below the cutover.
+    # force_kernel skips this preference (kernel benchmarking and the
+    # single-chip shard_map/Mosaic tests use shapes XLA would otherwise take)
     logits_bytes = 2 * b * h * t * t  # bf16 T x T materialization
-    if not interpret and logits_bytes < (2 << 30):
+    if not interpret and not force_kernel and logits_bytes < (2 << 30):
         return _xla_with_dropout(q, k, v, key_padding_mask,
                                  dropout_p, dropout_seed)
 

@@ -104,10 +104,15 @@ _KERNEL_MESH: contextvars.ContextVar = contextvars.ContextVar(
 
 
 @contextlib.contextmanager
-def use_kernel_mesh(mesh: Optional[Mesh]):
+def use_kernel_mesh(mesh: Optional[Mesh], force: bool = False):
     """Make `mesh` visible to pallas kernel dispatch during tracing. A 1-device
-    mesh is treated as None (no wrapping: single-chip HLO stays byte-stable)."""
-    if mesh is not None and int(np.prod(list(mesh.shape.values()))) <= 1:
+    mesh is treated as None (no wrapping: single-chip HLO stays byte-stable)
+    unless `force=True` — which keeps even a 1-device mesh active so the
+    shard_map + Mosaic kernel combination can be exercised on a single real
+    chip (tests/test_mosaic_mesh_tpu.py; interpret-mode CPU tests cannot
+    lower the kernels through Mosaic, and multi-chip hardware is absent)."""
+    if (mesh is not None and not force
+            and int(np.prod(list(mesh.shape.values()))) <= 1):
         mesh = None
     token = _KERNEL_MESH.set(mesh)
     try:

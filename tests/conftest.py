@@ -12,7 +12,15 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Default: everything on the virtual 8-device CPU mesh. Setting
+# FITHUBERT_TEST_PLATFORM=tpu leaves the platform resolution alone so the
+# real (tunneled) chip is used instead (for the *_tpu.py test files, which
+# skip on cpu) — the tunnel backend only initializes under the DEFAULT
+# platform resolution, so we must not set jax_platforms at all there, and
+# the env var must be honored here because the axon sitecustomize overrides
+# JAX_PLATFORMS from the shell.
+if os.environ.get("FITHUBERT_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # NOTE: the persistent compilation cache is intentionally NOT enabled for
 # the (CPU) test suite — reloading serialized XLA:CPU AOT executables tripped

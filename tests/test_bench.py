@@ -1,0 +1,106 @@
+"""bench.py integrity checks (VERDICT r2 #1): the r02 headline published a
+student-forward number 186x too fast because a silently degraded barrier
+measured dispatch instead of execution. These unit tests pin the guards that
+make that class of artifact impossible to publish unflagged."""
+
+import bench
+
+
+def _fwd_line(value):
+    return {
+        "metric": "student_fwd_audio_sec_per_sec_per_chip",
+        "value": value,
+        "fetch_ok": True,
+        "untrusted": False,
+    }
+
+
+def _train_line(steps_per_sec=10.35, audio=1490.5, tflops=3.689, mfu=0.194):
+    return {
+        "metric": "kd_train_step_steps_per_sec",
+        "value": steps_per_sec,
+        "audio_sec_per_sec_per_chip": audio,
+        "analytic_tflops_per_step": tflops,
+        "mfu": mfu,
+        "fetch_ok": True,
+        "untrusted": False,
+    }
+
+
+PEAK = 197e12  # v5e
+# fithubert.yaml student fwd at b=32, 16 s (bench._student_fwd_flops):
+# ~3.61 GF per audio-second -> 15k audio-s/s implies ~54 TF/s (plausible)
+FLOPS_PER_AUDIO = 3.611e9
+
+
+def test_honest_numbers_stay_trusted():
+    """The r01-consistent numbers (15k fwd, 10.35 steps/s) pass untouched."""
+    fwd_line = _fwd_line(15_000.0)
+    fwd = {"value": 15_000.0, "flops_per_audio_sec": FLOPS_PER_AUDIO}
+    train = _train_line()
+    bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
+                                 full_geom=True)
+    assert not fwd_line["untrusted"]
+    assert not train["untrusted"]
+
+
+def test_r02_magnitude_is_flagged_physically_impossible():
+    """The actual r02 value (2.8M audio-s/s) implies ~60 PFLOP/s — must be
+    marked untrusted by the peak-FLOPs bound alone."""
+    value = 2_797_113.0
+    fwd_line = _fwd_line(value)
+    fwd = {"value": value, "flops_per_audio_sec": FLOPS_PER_AUDIO}
+    train = _train_line()
+    bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
+                                 full_geom=True)
+    assert fwd_line["untrusted"]
+    assert "peak" in fwd_line["untrusted_reason"]
+
+
+def test_subphysical_but_inconsistent_is_flagged_by_cross_check():
+    """A value below the physical peak but far above what the train step
+    implies (e.g. a partially-degraded barrier) trips the cross-check.
+    Train-implied bound here: 1490.5 audio-s/s x (25.6/3.61 FLOPs ratio) x
+    3 margin ~= 31.7k audio-s/s."""
+    value = 40_000.0  # implies ~144 TF/s: under the 197 TF/s peak, 2.7x r01
+    fwd_line = _fwd_line(value)
+    fwd = {"value": value, "flops_per_audio_sec": FLOPS_PER_AUDIO}
+    train = _train_line()
+    bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
+                                 full_geom=True)
+    assert fwd_line["untrusted"]
+    assert "train-step-implied" in fwd_line["untrusted_reason"]
+
+
+def test_impossible_train_mfu_is_flagged():
+    fwd_line = _fwd_line(15_000.0)
+    fwd = {"value": 15_000.0, "flops_per_audio_sec": FLOPS_PER_AUDIO}
+    train = _train_line(steps_per_sec=2000.0, mfu=37.5)
+    bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
+                                 full_geom=True)
+    assert train["untrusted"]
+    assert "MFU" in train["untrusted_reason"]
+
+
+def test_untrusted_train_line_disables_cross_check():
+    """A garbage train line must not be used as a bound for the fwd line."""
+    value = 40_000.0
+    fwd_line = _fwd_line(value)
+    fwd = {"value": value, "flops_per_audio_sec": FLOPS_PER_AUDIO}
+    train = _train_line()
+    train["untrusted"] = True  # e.g. its fetch probe failed
+    bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
+                                 full_geom=True)
+    assert not fwd_line["untrusted"]  # flagged only by fetch_ok, not here
+
+
+def test_smoke_geometry_skips_cross_check():
+    """CPU/--quick runs use shrunken geometry; the FLOPs ratio is wrong
+    there, so the cross-check must not fire."""
+    value = 40_000.0
+    fwd_line = _fwd_line(value)
+    fwd = {"value": value, "flops_per_audio_sec": FLOPS_PER_AUDIO}
+    train = _train_line()
+    bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
+                                 full_geom=False)
+    assert not fwd_line["untrusted"]
