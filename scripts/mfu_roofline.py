@@ -50,46 +50,77 @@ HBM_GBPS = {"TPU v5 lite": 819, "TPU v4": 1228, "TPU v5": 2765,
             "TPU v6 lite": 1640}
 
 
-N_LOOP = 50  # on-device chain length per timed dispatch
+# Timing over the axon tunnel: ONE device->host fetch costs ~60 ms and
+# run-to-run noise is several ms, so absolute single-call timings of sub-ms
+# ops are meaningless. Both timers below use a TWO-POINT DIFFERENCE:
+# per_unit = (T(n2) - T(n1)) / (n2 - n1), which cancels the fixed
+# fetch/dispatch cost exactly; n2 is escalated until the delta is well above
+# the noise floor. min (not median) over repeats — tunnel noise is positive.
+
+_MIN_DELTA_S = 0.08
 
 
-def _timeit(fn, *args, iters=10):
-    """Median wall time of a jitted fn with the honest fetch barrier.
-
-    Use ONLY for ops >= ~1 ms: a contended single-core host adds O(100 us)
-    dispatch per call, which would swamp sub-ms ops. Those are timed with
-    _timeit_chain instead (one dispatch, N_LOOP data-dependent executions
-    inside lax.fori_loop — dispatch overhead amortized to nothing)."""
+def _timeit(fn, *args, n1=2, n2=12):
+    """Per-call time of a jitted fn via the call-count difference method
+    (for ops in the >= 1 ms range: conv stacks, VJPs)."""
     from fithubert_tpu.utils.barrier import fetch_barrier
 
-    out = fn(*args)
-    fetch_barrier(out)
-    out = fn(*args)
-    fetch_barrier(out)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        fetch_barrier(out)
-        times.append((time.perf_counter() - t0) / iters)
-    return float(np.median(times))
+    fetch_barrier(fn(*args))
+    fetch_barrier(fn(*args))
+
+    def total(n):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(*args)
+            fetch_barrier(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = total(n1), total(n2)
+    while t2 - t1 < _MIN_DELTA_S and n2 < 400:
+        n2 *= 4
+        t2 = total(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def _timeit_chain(body, carry0, consts):
-    """Time one iteration of `carry = body(carry, consts)` chained N_LOOP
-    times on device (the carry feeds the next iteration, so XLA cannot hoist
-    or overlap across iterations beyond real pipelining)."""
+    """Per-iteration time of `carry = body(carry, consts)` chained on device
+    inside lax.fori_loop (the carry feeds the next iteration, so XLA cannot
+    hoist the op), loop-length difference method."""
     import jax
 
-    @jax.jit
-    def run(carry, consts):
-        return jax.lax.fori_loop(
-            0, N_LOOP, lambda i, c: body(c, consts), carry
-        )
+    from fithubert_tpu.utils.barrier import fetch_barrier
 
-    dt = _timeit(run, carry0, consts, iters=3)
-    return dt / N_LOOP
+    def make(n):
+        @jax.jit
+        def run(c, k):
+            return jax.lax.fori_loop(0, n, lambda i, cc: body(cc, k), c)
+
+        return run
+
+    def t(run):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch_barrier(run(carry0, consts))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    n1, n2 = 64, 1088
+    r1 = make(n1)
+    fetch_barrier(r1(carry0, consts))
+    t1 = t(r1)
+    while True:
+        r2 = make(n2)
+        fetch_barrier(r2(carry0, consts))
+        t2 = t(r2)
+        if t2 - t1 >= _MIN_DELTA_S or n2 >= 70_000:
+            break
+        n2 *= 8
+    return max((t2 - t1) / (n2 - n1), 1e-12)
 
 
 def bench_dense_square(rows, k, dtype):
