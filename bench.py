@@ -70,6 +70,9 @@ def _make_sync():
     from fithubert_tpu.utils.barrier import fetch_barrier, probe_fetch
 
     fetch_ok = probe_fetch(timeout=60.0)
+    if not fetch_ok:  # tunnel wedges are often transient; one retry
+        time.sleep(10.0)
+        fetch_ok = probe_fetch(timeout=60.0)
 
     def sync(x):
         if fetch_ok:
@@ -261,6 +264,9 @@ def bench_train_step(platform, quick, sync):
     n_rand = max(1, cfg.loss.distil_random_layer)
     rand_layers = jnp.arange(n_rand, dtype=jnp.int32)
 
+    from fithubert_tpu.utils.rng import root_step_key
+
+    rng = root_step_key(0)  # rbg mask streams on TPU, as training uses
     step = distiller.make_train_step()
     # warmup/compile (donated state: re-feed the returned one)
     state, logs = step(state, teacher_params, batch, rand_layers, rng)

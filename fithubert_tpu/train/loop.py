@@ -166,7 +166,13 @@ def run_training(
         decoder = GreedyCTCDecoder()
         predict_step = distiller.make_predict_step(len(decoder.dictionary))
     py_rng = random.Random(cfg.train.seed)
-    step_rng = jax.random.fold_in(rng, 2)
+    from fithubert_tpu.utils.rng import root_step_key
+
+    # dropout/specaug/layerdrop streams: rbg on TPU (utils/rng.py); init
+    # keys above stay threefry (init reproducibility is test contract)
+    step_rng = jax.random.fold_in(
+        root_step_key(cfg.train.seed, cfg.train.rng_impl), 2
+    )
 
     def _put_one(v, sharding, batch_axis):
         v = np.asarray(v)

@@ -45,3 +45,19 @@ def test_steptimer_barrier_actually_called():
     assert len(calls) == 2
     assert timer.steps_per_sec > 0
     assert np.isclose(timer.audio_sec_per_sec / timer.steps_per_sec, 1.0)
+
+
+def test_root_step_key_dispatch():
+    """'auto' = threefry on CPU (cross-platform-reproducible), explicit
+    'rbg' returns a typed rbg key; both are valid dropout-stream roots."""
+    from fithubert_tpu.utils.rng import root_step_key
+
+    k_auto = root_step_key(0, "auto")
+    k_thr = root_step_key(0, "threefry")
+    assert np.array_equal(np.asarray(k_auto), np.asarray(k_thr))  # cpu: same
+    k_rbg = root_step_key(0, "rbg")
+    # fold_in/split/bernoulli all work on the rbg stream (the step's usage)
+    sub = jax.random.fold_in(k_rbg, 7)
+    bits = jax.random.bernoulli(sub, 0.5, (64,))
+    assert bits.shape == (64,)
+    assert bool(bits.any()) and not bool(bits.all())
