@@ -118,7 +118,12 @@ class MultiHeadSelfAttention(nn.Module):
                 # so the value path stays finite (the attn loss scrubs the
                 # -inf logits itself, reference train.py:337-341)
                 probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-            probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+            # mask-regenerating pallas dropout: the (B,H,T,T) prob tensor is
+            # the one dropout site that costs more than the op it regularizes
+            # (ops/pallas/dropout.py; differentiable bernoulli off-TPU)
+            from fithubert_tpu.ops.pallas.dropout import module_prob_dropout
+
+            probs = module_prob_dropout(self, probs, self.dropout, deterministic)
             out = jnp.einsum(
                 "bhqk,bkhd->bqhd",
                 probs.astype(dtype),

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from fithubert_tpu.config import StudentConfig
 from fithubert_tpu.ops.attention import AttentionTaps
+from fithubert_tpu.ops.pallas.dropout import module_prob_dropout
 from fithubert_tpu.ops.conv import Conv1D
 from fithubert_tpu.ops.norms import FP32LayerNorm
 from fithubert_tpu.ops.padding import apply_padding_mask
@@ -91,7 +92,8 @@ class RelPositionAttention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)
         if need_taps:
             probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        # (B,H,T,T) prob dropout via the mask-regenerating pallas kernel
+        probs = module_prob_dropout(self, probs, self.dropout, deterministic)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", probs.astype(dtype), v,
             preferred_element_type=jnp.float32,
@@ -151,7 +153,7 @@ class RotaryAttention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)
         if need_taps:
             probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        probs = module_prob_dropout(self, probs, self.dropout, deterministic)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", probs.astype(dtype), v,
             preferred_element_type=jnp.float32,
