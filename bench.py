@@ -357,22 +357,27 @@ def main():
     peak = _peak_flops(kind)
     quick = "--quick" in sys.argv
 
+    def fwd_line_from(fwd, fetch_ok):
+        line = {
+            "metric": "student_fwd_audio_sec_per_sec_per_chip",
+            "value": round(fwd["value"], 2),
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": round(fwd["value"] / FWD_TARGET, 4),
+            "fetch_ok": fetch_ok,
+            "untrusted": not fetch_ok,
+        }
+        if not fetch_ok:
+            line["untrusted_reason"] = (
+                "device->host fetch probe failed: timed with "
+                "block_until_ready only, which measures dispatch, not "
+                "execution, over the tunnel"
+            )
+        return line
+
     # --- student forward (printed first; the train line is the headline) ---
     sync, fetch_ok = _make_sync()
     fwd = bench_student_fwd(platform, quick, sync)
-    fwd_line = {
-        "metric": "student_fwd_audio_sec_per_sec_per_chip",
-        "value": round(fwd["value"], 2),
-        "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(fwd["value"] / FWD_TARGET, 4),
-        "fetch_ok": fetch_ok,
-        "untrusted": not fetch_ok,
-    }
-    if not fetch_ok:
-        fwd_line["untrusted_reason"] = (
-            "device->host fetch probe failed: timed with block_until_ready "
-            "only, which measures dispatch, not execution, over the tunnel"
-        )
+    fwd_line = fwd_line_from(fwd, fetch_ok)
 
     # --- KD train step: the headline (last line; driver parses the last) ---
     sync, fetch_ok = _make_sync()  # re-probe: the fetch path can die mid-run
@@ -384,6 +389,14 @@ def main():
             "untrusted_reason",
             "device->host fetch probe failed",
         )
+
+    if not fwd_line["fetch_ok"] and fetch_ok:
+        # the tunnel's fetch path recovered mid-run (wedges are transient —
+        # CLAUDE.md): re-measure the forward with the healthy barrier rather
+        # than shipping an untrusted line (compiles are cached, so this is
+        # cheap)
+        fwd = bench_student_fwd(platform, quick, sync)
+        fwd_line = fwd_line_from(fwd, True)
 
     # cross-checks: physical peak bound + train-step-implied bound (at equal
     # hardware efficiency, fwd rate = train rate x FLOPs ratio per
