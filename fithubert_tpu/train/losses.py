@@ -150,19 +150,39 @@ def compute_losses(
     pred = target = None
 
     random_mode = cfg.distil_random_layer > 0
+    # Set when the random-layer gather was skipped as an identity: slot i's
+    # per-layer log scalar is then per_layer[rand_layers[i]] (permuted below).
+    slots_perm = None
 
     if cfg.rec_loss_weight > 0 or cfg.sim_loss_weight > 0:
         if random_mode:
             assert rand_layers is not None
-            # teacher: gathered rand layers + final layer (train.py:250-258)
-            gathered = jnp.take(teacher_stack, rand_layers, axis=1)
-            target = jnp.concatenate([gathered, teacher_stack[:, -1:]], axis=1)
-            # student: layerwise projections stacked (B, L, T, D) then gathered
             proj_stack = jnp.stack([f32(p) for p in student.projections], axis=1)
-            pred = jnp.concatenate(
-                [jnp.take(proj_stack, rand_layers, axis=1), proj_stack[:, -1:]],
-                axis=1,
-            )
+            n_slots = int(rand_layers.shape[0])
+            if (n_slots == teacher_stack.shape[1] - 1
+                    and n_slots == proj_stack.shape[1] - 1):
+                # The release config's k = N-1 draws the WHOLE intermediate
+                # pool (loop._sample_rand_layers: sample(range(N-1), N-1)), so
+                # rand_layers is a permutation of 0..N-2 and the slot weights
+                # are uniform: total loss and grads are permutation-invariant.
+                # Skip the (B, R, T, D) gathers (and their scatter-add
+                # transposes — measured 4.8 ms/step on v5e) and permute only
+                # the per-layer scalar logs.
+                target = teacher_stack
+                pred = proj_stack
+                slots_perm = rand_layers
+            else:
+                # teacher: gathered rand layers + final layer (train.py:250-258)
+                gathered = jnp.take(teacher_stack, rand_layers, axis=1,
+                                    mode="clip")
+                target = jnp.concatenate(
+                    [gathered, teacher_stack[:, -1:]], axis=1)
+                # student: layerwise projections stacked then gathered
+                pred = jnp.concatenate(
+                    [jnp.take(proj_stack, rand_layers, axis=1, mode="clip"),
+                     proj_stack[:, -1:]],
+                    axis=1,
+                )
         else:
             ids = jnp.asarray(student_cfg.pred_layer_id, jnp.int32)
             target = jnp.take(teacher_stack, ids, axis=1)
@@ -247,6 +267,13 @@ def compute_losses(
         feat_layer = (rec_layer_loss if rec_layer_loss is not None else 0) + (
             sim_layer_loss if sim_layer_loss is not None else 0
         )
+        if slots_perm is not None:
+            # identity fast path: restore the slot ordering for the logs
+            # (slot i distilled layer rand_layers[i]); 11 scalars, not tensors
+            feat_layer = jnp.concatenate(
+                [jnp.take(feat_layer, slots_perm, axis=0, mode="clip"),
+                 feat_layer[-1:]]
+            )
         if random_mode:
             for i in range(n_terms - 1):
                 logs[f"rand_l{i}"] = feat_layer[i]

@@ -251,15 +251,37 @@ class Distiller:
                 return (grads_acc, new_vars, i + 1), (loss, loss_out.logs)
 
             n_micro = batch["x"].shape[0]
-            zero_grads = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-            )
-            (grads, extra_vars, _), (losses, logs) = jax.lax.scan(
-                micro,
-                (zero_grads, state.extra_vars, jnp.zeros((), jnp.int32)),
-                dict(batch),
-            )
-            grads = jax.tree.map(lambda g: g / n_micro, grads)
+            if n_micro == 1:
+                # A length-1 scan still compiles to an XLA while loop: loop
+                # carries copy every grad/param through the boundary, the
+                # zeros+add accumulator touches all 22.5M grads once for
+                # nothing, and the loop edge is a fusion barrier between the
+                # backward and the optimizer. Call the body directly instead
+                # (same fold_in stream as scan index 0, so numerics and
+                # dropout masks are identical to the scan form).
+                inputs = jax.tree.map(lambda x: x[0], dict(batch))
+                step_rng = jax.random.fold_in(rng, state.step * 131071)
+                rngs = {
+                    "dropout": jax.random.fold_in(step_rng, 0),
+                    "specaug": jax.random.fold_in(step_rng, 1),
+                    "layerdrop": jax.random.fold_in(step_rng, 2),
+                }
+                (losses, (loss_out, extra_vars)), grads = grad_fn(
+                    state.params, state.extra_vars, inputs["x"],
+                    inputs["padding_mask"], inputs.get("labels"),
+                    inputs.get("label_paddings"), rngs,
+                )
+                logs = loss_out.logs
+            else:
+                zero_grads = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                (grads, extra_vars, _), (losses, logs) = jax.lax.scan(
+                    micro,
+                    (zero_grads, state.extra_vars, jnp.zeros((), jnp.int32)),
+                    dict(batch),
+                )
+                grads = jax.tree.map(lambda g: g / n_micro, grads)
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params
             )

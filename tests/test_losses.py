@@ -74,6 +74,45 @@ def test_random_layer_mode_matches_oracle(np_rng):
     np.testing.assert_allclose(float(out.logs["rand_l0"]), float(layer[0]), rtol=1e-5)
 
 
+def test_random_layer_full_pool_permutation_matches_oracle(np_rng):
+    """k = N-1 (the release config) draws the whole intermediate pool: the
+    gather is a permutation and compute_losses takes the identity fast path
+    (no (B,R,T,D) gather). Must still match the explicit-gather oracle,
+    including the slot-ordered rand_l{i} logs."""
+    student, teacher, th, pr, _, _ = make_outputs(np_rng, t_student=T - 1)
+    rand = np.array([2, 0, 1], dtype=np.int32)  # permutation of range(L-1)
+    cfg = LossConfig(
+        rec_loss_weight=1.0, rec_loss_type="mse", sim_loss_weight=1.0,
+        distil_random_layer=3, random_layer_weight=0.1,
+    )
+    scfg = StudentConfig(encoder_layers=L, layerwise_proj=True)
+    out = compute_losses(cfg, scfg, student, teacher, rand_layers=jnp.asarray(rand))
+
+    # explicit-gather oracle (train.py:250-314)
+    t_hid = torch.stack(
+        [torch.from_numpy(th[i]) for i in rand] + [torch.from_numpy(th[-1])], dim=1
+    )
+    s_hid = torch.stack(
+        [torch.from_numpy(pr[i]) for i in rand] + [torch.from_numpy(pr[-1])], dim=1
+    )
+    target = t_hid.narrow(2, 0, s_hid.shape[2])
+    rec = F.mse_loss(s_hid, target, reduction="none")
+    rec[:, :-1] = rec[:, :-1] * 0.1
+    rec_layer = rec.mean((0, 2, 3))
+    cos = F.cosine_similarity(s_hid, target, dim=-1)
+    sim = -F.logsigmoid(cos)
+    sim[:, :-1] = sim[:, :-1] * 0.1
+    sim_layer = sim.mean((0, 2))
+    layer = rec_layer + sim_layer
+    expect = rec_layer.sum() + sim_layer.sum()
+    np.testing.assert_allclose(float(out.total), float(expect), rtol=1e-5)
+    np.testing.assert_allclose(float(out.last_layer_loss), float(layer[-1]), rtol=1e-5)
+    for i in range(3):
+        np.testing.assert_allclose(
+            float(out.logs[f"rand_l{i}"]), float(layer[i]), rtol=1e-5
+        )
+
+
 def test_fixed_layer_l1_cosine_matches_oracle(np_rng):
     """ex.yaml mode: pred_layer_id=[3,7,11]-style, l1 + sim."""
     ids = (1, 3)
