@@ -57,6 +57,27 @@ def _cfg(root, **kw):
     )
 
 
+REF_BUCKET_DIR = "/root/reference/data/len_for_bucket"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_BUCKET_DIR), reason="reference checkout not present"
+)
+def test_reference_shipped_csvs_parse_directly():
+    """The reference ships its bucket manifests as pandas-style CSVs with an
+    unnamed index column and a trailing `label` column
+    (utils/dataset.py:26-34). They must drop straight into our reader — a
+    reference user points bucketing_path at their existing len_for_bucket
+    dir and gets the same (file_path, length) rows, descending."""
+    rows = read_bucket_csvs(REF_BUCKET_DIR, ["train-clean-100"], None)
+    assert len(rows) == 28539
+    paths, lengths = zip(*rows)
+    assert lengths == tuple(sorted(lengths, reverse=True))
+    assert all(p.startswith("train-clean-100/") and p.endswith(".flac")
+               for p in paths[:100])
+    assert all(isinstance(l, int) and l > 0 for l in lengths[:100])
+
+
 def test_rows_sorted_descending(corpus):
     root, split = corpus
     rows = read_bucket_csvs(os.path.join(root, "len_for_bucket"), [split])
