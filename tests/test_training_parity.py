@@ -47,6 +47,7 @@ from tests.test_teacher_full_parity import (
 )
 
 STEPS = 4
+CURVE_STEPS = 24  # long-horizon curve: past warmup, into the decay phase
 LR = 5e-3
 WD = 0.01
 BETAS = (0.9, 0.98)
@@ -56,13 +57,17 @@ WARMUP_PROP = 0.2  # -> warmup = 2 of 10 steps
 RAND_W = 0.1
 
 
-def _lr_factor(step: int) -> float:
+def _lr_factor_for(num_train_steps: int):
     """Mirror of train/optim.linear_warmup_decay's join_schedules indexing."""
-    warmup = max(1, int(NUM_TRAIN_STEPS * WARMUP_PROP))
-    if step < warmup:
-        return step / warmup
-    frac = min(1.0, (step - warmup) / max(1, NUM_TRAIN_STEPS - warmup))
-    return 1.0 - frac
+
+    def factor(step: int) -> float:
+        warmup = max(1, int(num_train_steps * WARMUP_PROP))
+        if step < warmup:
+            return step / warmup
+        frac = min(1.0, (step - warmup) / max(1, num_train_steps - warmup))
+        return 1.0 - frac
+
+    return factor
 
 
 def _torch_loss(student, teacher, wav, pad):
@@ -87,7 +92,18 @@ def _torch_loss(student, teacher, wav, pad):
 
 
 @pytest.mark.slow
-def test_kd_training_steps_match_torch_oracle(tmp_path):
+@pytest.mark.parametrize(
+    "steps,num_train_steps,rtol",
+    [
+        pytest.param(STEPS, NUM_TRAIN_STEPS, 3e-4, id="4step-strict"),
+        # BASELINE.md north star (c): distill-LOSS-CURVE parity. 24 optimizer
+        # steps spanning warmup AND most of the decay phase; fp32 rounding
+        # compounds across steps so the per-point tolerance is looser, and the
+        # curve must additionally have descended materially on both sides.
+        pytest.param(CURVE_STEPS, 30, 3e-3, id="24step-curve"),
+    ],
+)
+def test_kd_training_steps_match_torch_oracle(tmp_path, steps, num_train_steps, rtol):
     from fithubert_tpu.export.fairseq_import import load_fairseq_teacher
     from fithubert_tpu.export.reference_import import map_student_state_dict
 
@@ -146,7 +162,7 @@ def test_kd_training_steps_match_torch_oracle(tmp_path):
             weight_decay=WD,
         ),
     )
-    d = Distiller(cfg, num_training_steps=NUM_TRAIN_STEPS,
+    d = Distiller(cfg, num_training_steps=num_train_steps,
                   teacher_geometry=teacher_geom)
 
     rng = np.random.default_rng(7)
@@ -162,18 +178,19 @@ def test_kd_training_steps_match_torch_oracle(tmp_path):
     step = d.make_train_step()
     rand = jnp.zeros((1,), jnp.int32)
     ours = []
-    for _ in range(STEPS):
+    for _ in range(steps):
         state, logs = step(state, teacher_vars, batch, rand, jax.random.PRNGKey(3))
         ours.append(float(logs["loss"]))
 
     # ---- torch side: reference-semantics loop --------------------------
     opt = torch.optim.AdamW(s_oracle.parameters(), lr=LR, betas=BETAS,
                             eps=EPS, weight_decay=WD)
-    sched = torch.optim.lr_scheduler.LambdaLR(opt, _lr_factor)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, _lr_factor_for(num_train_steps))
     wav_t = torch.from_numpy(wav_np)
     pad_t = torch.from_numpy(pad_np)
     theirs = []
-    for _ in range(STEPS):
+    for _ in range(steps):
         opt.zero_grad()
         loss = _torch_loss(s_oracle, t_oracle, wav_t, pad_t)
         loss.backward()
@@ -181,8 +198,12 @@ def test_kd_training_steps_match_torch_oracle(tmp_path):
         sched.step()
         theirs.append(float(loss.detach()))
 
-    np.testing.assert_allclose(ours, theirs, rtol=3e-4, err_msg=(
+    np.testing.assert_allclose(ours, theirs, rtol=rtol, err_msg=(
         f"KD training curves diverged: ours={ours} torch={theirs}"
     ))
     # losses must actually move (warmup step 0 has lr factor 0)
     assert theirs[-1] != theirs[1]
+    if steps >= CURVE_STEPS:
+        # curve-parity runs must also DESCEND like a real distillation curve
+        assert ours[-1] < 0.7 * ours[0], f"our curve barely moved: {ours}"
+        assert theirs[-1] < 0.7 * theirs[0], f"oracle barely moved: {theirs}"
