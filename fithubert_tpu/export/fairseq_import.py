@@ -60,6 +60,82 @@ def map_encoder_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
+def _conv1d(sd: Dict[str, Any], name: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d (C_out, C_in/g, K) -> our Conv1D kernel (K, C_in/g, C_out)."""
+    p = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 1, 0)}
+    if f"{name}.bias" in sd:
+        p["bias"] = _np(sd[f"{name}.bias"])
+    return p
+
+
+def map_conformer_layer(
+    sd: Dict[str, Any], prefix: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """fairseq ConformerWav2Vec2EncoderLayer -> our ConformerEncoderLayer.
+
+    Returns (params, batch_stats): the conv module's BatchNorm running
+    mean/var live in flax's batch_stats collection, not params. Attention
+    naming dispatches on the keys present: espnet attentions use
+    linear_q/k/v/out (+ linear_pos/pos_bias_u/pos_bias_v for rel_pos);
+    attn_type != 'espnet' checkpoints hold a standard fairseq
+    MultiheadAttention with q/k/v/out_proj.
+    """
+
+    def ffn(name: str) -> Dict[str, Any]:
+        return {
+            "layer_norm": _layernorm(sd, f"{prefix}.{name}.layer_norm"),
+            "w_1": _dense(sd, f"{prefix}.{name}.w_1"),
+            "w_2": _dense(sd, f"{prefix}.{name}.w_2"),
+        }
+
+    if f"{prefix}.self_attn.linear_q.weight" in sd:  # espnet naming
+        attn = {
+            "q_proj": _dense(sd, f"{prefix}.self_attn.linear_q"),
+            "k_proj": _dense(sd, f"{prefix}.self_attn.linear_k"),
+            "v_proj": _dense(sd, f"{prefix}.self_attn.linear_v"),
+            "out_proj": _dense(sd, f"{prefix}.self_attn.linear_out"),
+        }
+        if f"{prefix}.self_attn.linear_pos.weight" in sd:  # rel_pos variant
+            attn["linear_pos"] = _dense(sd, f"{prefix}.self_attn.linear_pos")
+            attn["pos_bias_u"] = _np(sd[f"{prefix}.self_attn.pos_bias_u"])
+            attn["pos_bias_v"] = _np(sd[f"{prefix}.self_attn.pos_bias_v"])
+    else:  # plain MultiheadAttention (attn_type != 'espnet')
+        attn = {
+            "q_proj": _dense(sd, f"{prefix}.self_attn.q_proj"),
+            "k_proj": _dense(sd, f"{prefix}.self_attn.k_proj"),
+            "v_proj": _dense(sd, f"{prefix}.self_attn.v_proj"),
+            "out_proj": _dense(sd, f"{prefix}.self_attn.out_proj"),
+        }
+
+    cm = f"{prefix}.conv_module"
+    params = {
+        "ffn1": ffn("ffn1"),
+        "ffn2": ffn("ffn2"),
+        "self_attn_layer_norm": _layernorm(sd, f"{prefix}.self_attn_layer_norm"),
+        "self_attn": attn,
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "conv_module": {
+            "layer_norm": _layernorm(sd, f"{cm}.layer_norm"),
+            "pointwise_conv1": _conv1d(sd, f"{cm}.pointwise_conv1"),
+            "depthwise_conv": _conv1d(sd, f"{cm}.depthwise_conv"),
+            "batch_norm": {
+                "scale": _np(sd[f"{cm}.batch_norm.weight"]),
+                "bias": _np(sd[f"{cm}.batch_norm.bias"]),
+            },
+            "pointwise_conv2": _conv1d(sd, f"{cm}.pointwise_conv2"),
+        },
+    }
+    stats = {
+        "conv_module": {
+            "batch_norm": {
+                "mean": _np(sd[f"{cm}.batch_norm.running_mean"]),
+                "var": _np(sd[f"{cm}.batch_norm.running_var"]),
+            }
+        }
+    }
+    return params, stats
+
+
 def map_extractor(sd: Dict[str, Any], prefix: str, mode: str) -> Dict[str, Any]:
     """fairseq ConvFeatureExtractionModel -> our ConvFeatureExtractor.
 

@@ -11,30 +11,24 @@ TPU without retraining.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
 from fithubert_tpu.config import ExperimentConfig, StudentConfig, load_yaml_config
 from fithubert_tpu.export.torch_pickle import tolerant_torch_load
 from fithubert_tpu.export.fairseq_import import (
+    _conv1d,
     _dense,
     _layernorm,
     _np,
+    map_conformer_layer,
     map_encoder_layer,
     map_extractor,
     map_pos_conv,
 )
 
 STUDENT_PREFIX = "student_model."
-
-
-def _conv1d(sd: Dict[str, Any], name: str) -> Dict[str, np.ndarray]:
-    """torch Conv1d (C_out, C_in/g, K) -> our Conv1D kernel (K, C_in/g, C_out)."""
-    p = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 1, 0)}
-    if f"{name}.bias" in sd:
-        p["bias"] = _np(sd[f"{name}.bias"])
-    return p
 
 
 def _conv_transpose1d(sd: Dict[str, Any], name: str) -> Dict[str, np.ndarray]:
@@ -46,10 +40,18 @@ def _conv_transpose1d(sd: Dict[str, Any], name: str) -> Dict[str, np.ndarray]:
 
 
 def map_student_state_dict(
-    sd: Dict[str, Any], cfg: StudentConfig
+    sd: Dict[str, Any],
+    cfg: StudentConfig,
+    collections: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
-    """Reference CustomStudentModel state dict -> our StudentModel params."""
+    """Reference CustomStudentModel state dict -> our StudentModel params.
+
+    Pass a dict as `collections` to also receive non-param variable
+    collections: conformer layers deposit their BatchNorm running stats
+    under collections['batch_stats'].
+    """
     params: Dict[str, Any] = {}
+    is_conformer = cfg.layer_type == "conformer"
 
     if cfg.n_mels <= 0:
         params["feature_extractor"] = map_extractor(
@@ -69,14 +71,24 @@ def map_student_state_dict(
 
     # ---- encoder: reference inserts the TR module INTO the torch ModuleList
     # at tr_layer_index (reference modules/module.py:244-248), so torch index j
-    # maps to our layers_{j'} with the TR slot removed.
+    # maps to our layers_{j'} with the TR slot removed. The dedicated
+    # ConformerEncoder (layer_type=conformer + rel_pos/rope) rebuilds its
+    # layer list WITHOUT the TR module and never runs its inherited pos_conv
+    # (reference modules/module.py:420-430,434-469), so neither is mapped.
+    dedicated_conformer = is_conformer and cfg.pos_enc_type in ("rel_pos", "rope")
     enc: Dict[str, Any] = {
-        "pos_conv": map_pos_conv(sd, "encoder.pos_conv"),
         "layer_norm": _layernorm(sd, "encoder.layer_norm"),
     }
-    tr_slot = cfg.tr_layer_index if cfg.enable_tr_layer else -1
+    if not dedicated_conformer:
+        enc["pos_conv"] = map_pos_conv(sd, "encoder.pos_conv")
+    enc_stats: Dict[str, Any] = {}
+    tr_slot = (
+        cfg.tr_layer_index
+        if cfg.enable_tr_layer and not dedicated_conformer
+        else -1
+    )
     our_idx = 0
-    num_slots = cfg.encoder_layers + (1 if cfg.enable_tr_layer else 0)
+    num_slots = cfg.encoder_layers + (1 if tr_slot >= 0 else 0)
     for j in range(num_slots):
         prefix = f"encoder.layers.{j}"
         if j == tr_slot:
@@ -90,9 +102,16 @@ def map_student_state_dict(
                     "fc_b": _dense(sd, f"{prefix}.2"),
                 }
             continue
-        enc[f"layers_{our_idx}"] = map_encoder_layer(sd, prefix)
+        if is_conformer:
+            layer_params, layer_stats = map_conformer_layer(sd, prefix)
+            enc[f"layers_{our_idx}"] = layer_params
+            enc_stats[f"layers_{our_idx}"] = layer_stats
+        else:
+            enc[f"layers_{our_idx}"] = map_encoder_layer(sd, prefix)
         our_idx += 1
     params["encoder"] = enc
+    if enc_stats and collections is not None:
+        collections["batch_stats"] = {"encoder": enc_stats}
 
     # ---- heads
     if cfg.layerwise_proj:
@@ -131,5 +150,6 @@ def load_reference_student(
         for k, v in sd.items()
         if k.startswith(STUDENT_PREFIX)
     }
-    params = map_student_state_dict(sd, cfg.distiller)
-    return cfg, {"params": params}
+    collections: Dict[str, Any] = {}
+    params = map_student_state_dict(sd, cfg.distiller, collections)
+    return cfg, {"params": params, **collections}

@@ -124,7 +124,12 @@ def apply_rotary(x: jnp.ndarray, base: float = 10000.0) -> jnp.ndarray:
 
 class RotaryAttention(nn.Module):
     """MHA with rotary q/k (conformer pos_enc_type='rope',
-    built at reference modules/module.py:404-409 via fairseq)."""
+    built at reference modules/module.py:404-409 via fairseq).
+
+    Fairseq quirk reproduced exactly: RotaryPositionMultiHeadedAttention
+    rotates the PRE-projection input viewed per-head — query/key are reshaped
+    to (T, B, H, dk), rotated, flattened back, and only THEN passed through
+    linear_q / linear_k; value is taken from the unrotated input."""
 
     embed_dim: int
     num_heads: int
@@ -140,8 +145,9 @@ class RotaryAttention(nn.Module):
         dtype = self.dtype or x.dtype
         dense = lambda name: nn.Dense(self.embed_dim, dtype=dtype,
                                       param_dtype=jnp.float32, name=name)
-        q = apply_rotary(dense("q_proj")(x).reshape(b, t, h, dk))
-        k = apply_rotary(dense("k_proj")(x).reshape(b, t, h, dk))
+        x_rot = apply_rotary(x.reshape(b, t, h, dk)).reshape(b, t, c)
+        q = dense("q_proj")(x_rot).reshape(b, t, h, dk)
+        k = dense("k_proj")(x_rot).reshape(b, t, h, dk)
         v = dense("v_proj")(x).reshape(b, t, h, dk)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -246,28 +252,35 @@ class ConvolutionModule(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True, row_valid=None):  # (B, T, C)
         assert (self.depthwise_kernel_size - 1) % 2 == 0
+        # all three convs are bias-free, matching fairseq ConvolutionModule's
+        # bias=False default (the layer never overrides it)
         x = FP32LayerNorm(name="layer_norm")(x)
-        x = Conv1D(2 * self.embed_dim, kernel_size=1, dtype=self.dtype,
-                   name="pointwise_conv1")(x)
+        x = Conv1D(2 * self.embed_dim, kernel_size=1, use_bias=False,
+                   dtype=self.dtype, name="pointwise_conv1")(x)
         x = jax.nn.glu(x, axis=-1)
         pad = (self.depthwise_kernel_size - 1) // 2
         x = Conv1D(
             self.embed_dim, kernel_size=self.depthwise_kernel_size,
-            groups=self.embed_dim, padding=(pad, pad), dtype=self.dtype,
-            name="depthwise_conv",
+            groups=self.embed_dim, padding=(pad, pad), use_bias=False,
+            dtype=self.dtype, name="depthwise_conv",
         )(x)
         x = RowMaskedBatchNorm(name="batch_norm")(
             x, row_valid=row_valid, use_running_average=deterministic
         )
         x = jax.nn.silu(x)
-        x = Conv1D(self.embed_dim, kernel_size=1, dtype=self.dtype,
-                   name="pointwise_conv2")(x)
+        x = Conv1D(self.embed_dim, kernel_size=1, use_bias=False,
+                   dtype=self.dtype, name="pointwise_conv2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
 class ConformerEncoderLayer(nn.Module):
     """Macaron conformer block; returns (x, taps, layer_result) with
-    layer_result = ffn2 output pre-residual (reference utils/utils.py:359-361)."""
+    layer_result = ffn2 output pre-residual (reference utils/utils.py:359-361).
+
+    Attention dispatch mirrors fairseq ConformerEncoderLayer exactly: the
+    espnet rel_pos / rope attentions are built ONLY when attn_type ==
+    'espnet'; any other attn_type (incl. the config default '') falls back
+    to the standard fairseq MultiheadAttention, with pos_emb unused."""
 
     embed_dim: int
     ffn_dim: int
@@ -275,6 +288,7 @@ class ConformerEncoderLayer(nn.Module):
     dropout: float
     depthwise_conv_kernel_size: int = 31
     pos_enc_type: str = "abs"
+    attn_type: str = "espnet"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -287,7 +301,14 @@ class ConformerEncoderLayer(nn.Module):
 
         residual = x
         x = FP32LayerNorm(name="self_attn_layer_norm")(x)
-        if self.pos_enc_type == "rel_pos":
+        if self.attn_type != "espnet":
+            from fithubert_tpu.ops.attention import MultiHeadSelfAttention
+
+            x, taps = MultiHeadSelfAttention(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                dropout=self.dropout, dtype=self.dtype, name="self_attn",
+            )(x, padding_mask, deterministic, need_taps)
+        elif self.pos_enc_type == "rel_pos":
             x, taps = RelPositionAttention(
                 self.embed_dim, self.num_heads, self.dropout, self.dtype,
                 name="self_attn",
@@ -298,6 +319,8 @@ class ConformerEncoderLayer(nn.Module):
                 name="self_attn",
             )(x, padding_mask, deterministic, need_taps)
         else:
+            # espnet 'abs' (ESPNETMultiHeadedAttention) is plain scaled-dot
+            # attention — math-identical to our standard MHA
             from fithubert_tpu.ops.attention import MultiHeadSelfAttention
 
             x, taps = MultiHeadSelfAttention(
@@ -372,6 +395,7 @@ class ConformerEncoder(nn.Module):
                 dropout=cfg.dropout,
                 depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
                 pos_enc_type=cfg.pos_enc_type,
+                attn_type=cfg.attn_type,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, padding_mask, pos_emb, deterministic, need_taps)

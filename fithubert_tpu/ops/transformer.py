@@ -353,6 +353,7 @@ class TransformerEncoder(nn.Module):
                     dropout=cfg.dropout,
                     depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
                     pos_enc_type="abs",
+                    attn_type=cfg.attn_type,
                     dtype=self.dtype,
                     name=f"layers_{layer_idx}",
                 )

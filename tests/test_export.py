@@ -210,6 +210,91 @@ def test_reference_student_import_shapes():
     assert np.all(np.isfinite(np.asarray(out.x)))
 
 
+def test_reference_conformer_student_import_shapes():
+    """Student-level import wiring for the dedicated ConformerEncoder family:
+    no TR slot and no pos_conv are mapped (the reference ConformerEncoder
+    rebuilds its layer list without the TR module and never runs pos_conv,
+    modules/module.py:420-430,434-469), espnet rel_pos attention naming, and
+    BatchNorm running stats land in the batch_stats collection."""
+    import dataclasses
+
+    from fithubert_tpu.export.reference_import import map_student_state_dict
+
+    cfg = dataclasses.replace(
+        STUDENT_CFG, layer_type="conformer", pos_enc_type="rel_pos",
+        attn_type="espnet", depthwise_conv_kernel_size=7,
+        enable_tr_layer=False,
+    )
+    d = cfg.encoder_embed_dim
+    h = cfg.encoder_attention_heads
+    sd = {}
+    in_ch = 1
+    for i, (dim, k, _s) in enumerate(cfg.conv_feature_layers):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = _t(dim, in_ch, k)
+        in_ch = dim
+    dim0 = cfg.conv_feature_layers[0][0]
+    sd["feature_extractor.conv_layers.0.2.weight"] = _t(dim0)
+    sd["feature_extractor.conv_layers.0.2.bias"] = _t(dim0)
+    embed = cfg.conv_feature_layers[-1][0]
+    sd["layer_norm.weight"] = _t(embed)
+    sd["layer_norm.bias"] = _t(embed)
+    sd["post_extract_proj.weight"] = _t(d, embed)
+    sd["post_extract_proj.bias"] = _t(d)
+    # the torch module still BUILDS pos_conv (inherited) — present but unused
+    sd["encoder.pos_conv.0.weight_g"] = _t(1, 1, cfg.conv_pos)
+    sd["encoder.pos_conv.0.weight_v"] = _t(d, d // cfg.conv_pos_groups, cfg.conv_pos)
+    sd["encoder.pos_conv.0.bias"] = _t(d)
+    sd["encoder.layer_norm.weight"] = _t(d)
+    sd["encoder.layer_norm.bias"] = _t(d)
+    for j in range(cfg.encoder_layers):
+        p = f"encoder.layers.{j}"
+        for ffn in ("ffn1", "ffn2"):
+            sd[f"{p}.{ffn}.layer_norm.weight"] = _t(d)
+            sd[f"{p}.{ffn}.layer_norm.bias"] = _t(d)
+            sd[f"{p}.{ffn}.w_1.weight"] = _t(cfg.encoder_ffn_embed_dim, d)
+            sd[f"{p}.{ffn}.w_1.bias"] = _t(cfg.encoder_ffn_embed_dim)
+            sd[f"{p}.{ffn}.w_2.weight"] = _t(d, cfg.encoder_ffn_embed_dim)
+            sd[f"{p}.{ffn}.w_2.bias"] = _t(d)
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            sd[f"{p}.{ln}.weight"] = _t(d)
+            sd[f"{p}.{ln}.bias"] = _t(d)
+        for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            sd[f"{p}.self_attn.{proj}.weight"] = _t(d, d)
+            sd[f"{p}.self_attn.{proj}.bias"] = _t(d)
+        sd[f"{p}.self_attn.linear_pos.weight"] = _t(d, d)
+        sd[f"{p}.self_attn.pos_bias_u"] = _t(h, d // h)
+        sd[f"{p}.self_attn.pos_bias_v"] = _t(h, d // h)
+        cm = f"{p}.conv_module"
+        sd[f"{cm}.layer_norm.weight"] = _t(d)
+        sd[f"{cm}.layer_norm.bias"] = _t(d)
+        sd[f"{cm}.pointwise_conv1.weight"] = _t(2 * d, d, 1)
+        sd[f"{cm}.depthwise_conv.weight"] = _t(d, 1, 7)
+        sd[f"{cm}.batch_norm.weight"] = _t(d)
+        sd[f"{cm}.batch_norm.bias"] = _t(d)
+        sd[f"{cm}.batch_norm.running_mean"] = _t(d)
+        sd[f"{cm}.batch_norm.running_var"] = _t(d).abs() + 0.5
+        sd[f"{cm}.pointwise_conv2.weight"] = _t(d, d, 1)
+    for i in range(cfg.encoder_layers):
+        sd[f"proj_head.{i}.lin_proj.weight"] = _t(cfg.pred_head_final_dim, d)
+        sd[f"proj_head.{i}.lin_proj.bias"] = _t(cfg.pred_head_final_dim)
+
+    collections = {}
+    params = map_student_state_dict(sd, cfg, collections)
+    assert "batch_stats" in collections
+
+    model = StudentModel(cfg=cfg)
+    wav = jnp.zeros((1, 4000))
+    init_vars = model.init(
+        {"params": jax.random.PRNGKey(0)}, wav, jnp.zeros((1, 4000), bool)
+    )
+    assert _shapes(init_vars["params"]) == _shapes(params)
+    assert _shapes(init_vars["batch_stats"]) == _shapes(collections["batch_stats"])
+    out = model.apply(
+        {"params": params, **collections}, wav, jnp.zeros((1, 4000), bool)
+    )
+    assert np.all(np.isfinite(np.asarray(out.x)))
+
+
 def test_upstream_expert_from_lightning_ckpt(tmp_path):
     from fithubert_tpu.export.expert import UpstreamExpert
 
@@ -339,7 +424,7 @@ def test_expert_from_conformer_export(tmp_path):
 
     cfg_c = dataclasses.replace(
         STUDENT_CFG, layer_type="conformer", pos_enc_type="rel_pos",
-        enable_tr_layer=False,
+        attn_type="espnet", enable_tr_layer=False,
     )
     cfg = ExperimentConfig(distiller=cfg_c)
     model = StudentModel(cfg=cfg_c)

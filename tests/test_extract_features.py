@@ -40,7 +40,7 @@ def test_conformer_layer_truncation():
     import dataclasses
 
     cfg = dataclasses.replace(
-        BASE, layer_type="conformer", pos_enc_type="rel_pos",
+        BASE, layer_type="conformer", pos_enc_type="rel_pos", attn_type="espnet",
         enable_tr_layer=False,
     )
     model = StudentModel(cfg=cfg)

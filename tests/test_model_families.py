@@ -89,7 +89,7 @@ def test_no_tr_layer():
 @pytest.mark.parametrize("pos_enc", ["rel_pos", "rope"])
 def test_conformer_encoder(pos_enc):
     cfg = dataclasses.replace(
-        BASE, layer_type="conformer", pos_enc_type=pos_enc,
+        BASE, layer_type="conformer", pos_enc_type=pos_enc, attn_type="espnet",
         depthwise_conv_kernel_size=7, enable_tr_layer=False,
     )
     out = _run(cfg)
@@ -112,7 +112,7 @@ def test_conformer_abs_inside_transformer_encoder():
 
 def test_conformer_taps_for_attn_loss():
     cfg = dataclasses.replace(
-        BASE, layer_type="conformer", pos_enc_type="rel_pos",
+        BASE, layer_type="conformer", pos_enc_type="rel_pos", attn_type="espnet",
         depthwise_conv_kernel_size=7, enable_tr_layer=False,
     )
     model = StudentModel(cfg=cfg)

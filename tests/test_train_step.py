@@ -257,7 +257,7 @@ def test_conformer_student_on_mesh():
         cfg,
         distiller=dataclasses.replace(
             cfg.distiller, layer_type="conformer", pos_enc_type="rel_pos",
-            enable_tr_layer=False,
+            attn_type="espnet", enable_tr_layer=False,
         ),
     )
     mesh = make_mesh()
