@@ -218,7 +218,25 @@ class ConvFeatureExtractor(nn.Module):
         # block-0 conv via XLA; in the fused path its GroupNorm + GELU fold
         # into the pallas kernel's prefix (only the fp32 stats reduce stays
         # in XLA), so the normalized tensor never round-trips HBM
-        dim0 = self.conv_layers[0][0]
+        dim0, k0, s0 = self.conv_layers[0]
+        valid_len = None
+        if fused_ok:
+            # pre-pad the WAV so block 0 emits the kernel's DMA-aligned
+            # length directly, instead of an XLA pad op copying the whole
+            # block-0 activation again (a measured ~1.7 ms/step at release
+            # shapes). Rows past valid_len are partial-window garbage; no
+            # valid output frame reads them, and GN stats exclude them.
+            from fithubert_tpu.ops.pallas.conv_frontend import (
+                padded_input_len, pick_f_tile)
+
+            t1 = (x.shape[1] - k0) // s0 + 1
+            itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+            f_tile = pick_f_tile(dim0, rest_spec, itemsize)
+            if f_tile and t1 > 0:
+                t_need = padded_input_len(t1, rest_spec, f_tile)
+                if t_need > t1:
+                    x = jnp.pad(x, ((0, 0), (0, (t_need - t1) * s0), (0, 0)))
+                    valid_len = t1
         x = convs[0](x)
         gn = (FP32GroupNorm(num_groups=dim0, name="group_norm")
               if self.mode == "default" else None)
@@ -234,7 +252,8 @@ class ConvFeatureExtractor(nn.Module):
                                    return_kernel=True)
                 kernels.append(kern)
                 c_in = dim
-            return conv_stack(x, kernels, rest_spec, gn_params=gn_params)
+            return conv_stack(x, kernels, rest_spec, gn_params=gn_params,
+                              valid_len=valid_len)
 
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

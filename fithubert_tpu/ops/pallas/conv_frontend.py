@@ -170,23 +170,32 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int,
     return kernel
 
 
-def _gn_prefix(x, gamma, beta, eps=1e-5):
+def _gn_prefix(x, gamma, beta, eps=1e-5, valid_len=None):
     """Per-channel-over-time GroupNorm(d, d) + GELU (the reference's block-0
-    tail) in fp32 stats, matching ops/norms.FP32GroupNorm for groups == C."""
+    tail) in fp32 stats, matching ops/norms.FP32GroupNorm for groups == C.
+
+    With valid_len, stats are computed over x[:, :valid_len] only (rows past
+    it are DMA-alignment padding, see conv_stack's valid_len) but the affine
+    is applied to every row — padded rows' values never reach a valid output
+    frame, so only the stats must exclude them for parity."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=1, keepdims=True)
-    var = jnp.var(x32, axis=1, keepdims=True)
+    stats = x32 if valid_len is None else x32[:, :valid_len]
+    mean = jnp.mean(stats, axis=1, keepdims=True)
+    var = jnp.var(stats, axis=1, keepdims=True)
     y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps)) * gamma + beta
     approx = jnp.dtype(x.dtype) != jnp.float32
     return jax.nn.gelu(y, approximate=approx).astype(x.dtype)
 
 
 def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec,
-                     gamma=None, beta=None):
+                     gamma=None, beta=None, valid_len=None):
     """XLA oracle: plain strided convs + exact GELU (used off-TPU and for the
-    backward pass). x: (B, T, C) channels-last; weights[i]: (k, C_in, C_out)."""
+    backward pass). x: (B, T, C) channels-last; weights[i]: (k, C_in, C_out).
+    valid_len marks rows past it as DMA-alignment padding: GN stats exclude
+    them and the output is cropped to the frames the valid rows produce."""
+    t_out = None if valid_len is None else _out_len(valid_len, spec)
     if gamma is not None:
-        x = _gn_prefix(x, gamma, beta)
+        x = _gn_prefix(x, gamma, beta, valid_len=valid_len)
     dn = jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NHC", "HIO", "NHC"))
     approx = jnp.dtype(x.dtype) != jnp.float32  # same flavor as the kernel
     for (w, (_d, k, s)) in zip(weights, spec):
@@ -195,14 +204,14 @@ def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec,
             dimension_numbers=dn,
         )
         x = jax.nn.gelu(x, approximate=approx)
-    return x
+    return x if t_out is None else x[:, :t_out]
 
 
 def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool,
-                  scale=None, shift=None):
+                  scale=None, shift=None, valid_len=None):
     with_norm = scale is not None
     b, t0, c0 = x.shape
-    t_out = _out_len(t0, spec)
+    t_out = _out_len(t0 if valid_len is None else valid_len, spec)
     n_tiles = pl.cdiv(t_out, f_tile)
     span = _aligned_span(f_tile, spec)
     prod = _stride_prod(spec)
@@ -244,24 +253,29 @@ def _pallas_stack(x, weights, spec: Spec, f_tile: int, interpret: bool,
     return out[:, :t_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_conv_stack(x, weights, spec: Spec, f_tile: int = 128,
-                     interpret: bool = False):
+                     interpret: bool = False, valid_len=None):
     """(B, T, C_in) -> (B, T_out, C_out) through the conv+GELU stack."""
-    return _pallas_stack(x, list(weights), spec, f_tile, interpret)
+    return _pallas_stack(x, list(weights), spec, f_tile, interpret,
+                         valid_len=valid_len)
 
 
-def _fused_fwd(x, weights, spec, f_tile, interpret):
-    return _pallas_stack(x, list(weights), spec, f_tile, interpret), (x, tuple(weights))
+def _fused_fwd(x, weights, spec, f_tile, interpret, valid_len):
+    out = _pallas_stack(x, list(weights), spec, f_tile, interpret,
+                        valid_len=valid_len)
+    return out, (x, tuple(weights))
 
 
-def _fused_bwd(spec, f_tile, interpret, res, g):
+def _fused_bwd(spec, f_tile, interpret, valid_len, res, g):
     x, weights = res
     # NOTE: a matmul-tap-decomposition VJP (_matmul_stack) was tried here and
     # measured 2x SLOWER than XLA's native conv VJPs on v5e (31.7 ms vs
     # 16.3 ms for the student spec at B=12 x 12 s) — XLA's conv transpose
     # kernels beat the pad/slice adjoint chain. Keep the conv-based oracle.
-    _, vjp = jax.vjp(lambda x_, ws: _reference_stack(x_, ws, spec), x, weights)
+    _, vjp = jax.vjp(
+        lambda x_, ws: _reference_stack(x_, ws, spec, valid_len=valid_len),
+        x, weights)
     dx, dws = vjp(g.astype(x.dtype))
     return dx, dws
 
@@ -302,31 +316,34 @@ def pick_f_tile(c0: int, spec: Spec, itemsize: int = 2,
     return 0  # does not fit: caller falls back to XLA
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_conv_stack_gn(x, weights, gamma, beta, spec: Spec, f_tile: int,
-                        interpret: bool = False):
+                        interpret: bool = False, valid_len=None):
     """Like fused_conv_stack but with the block-0 GroupNorm(d,d) + GELU
     folded into the kernel's prefix (stats via a cheap XLA fp32 reduce)."""
-    out, _ = _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret)
+    out, _ = _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret,
+                           valid_len)
     return out
 
 
-def _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret):
-    x32 = x.astype(jnp.float32)
+def _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret,
+                  valid_len=None):
+    x32 = (x if valid_len is None else x[:, :valid_len]).astype(jnp.float32)
     mean = jnp.mean(x32, axis=1)  # (B, C)
     var = jnp.var(x32, axis=1)
     rstd = jax.lax.rsqrt(var + 1e-5)
     scale = (rstd * gamma[None, :]).astype(x.dtype)
     shift = (beta[None, :] - mean * rstd * gamma[None, :]).astype(x.dtype)
     out = _pallas_stack(x, list(weights), spec, f_tile, interpret,
-                        scale=scale, shift=shift)
+                        scale=scale, shift=shift, valid_len=valid_len)
     return out, (x, tuple(weights), gamma, beta)
 
 
-def _fused_gn_bwd(spec, f_tile, interpret, res, g):
+def _fused_gn_bwd(spec, f_tile, interpret, valid_len, res, g):
     x, weights, gamma, beta = res
     _, vjp = jax.vjp(
-        lambda x_, ws, ga, be: _reference_stack(x_, ws, spec, ga, be),
+        lambda x_, ws, ga, be: _reference_stack(x_, ws, spec, ga, be,
+                                                valid_len=valid_len),
         x, weights, gamma, beta,
     )
     return vjp(g.astype(x.dtype))
@@ -335,13 +352,32 @@ def _fused_gn_bwd(spec, f_tile, interpret, res, g):
 fused_conv_stack_gn.defvjp(_fused_gn_fwd, _fused_gn_bwd)
 
 
+def padded_input_len(t1: int, spec: Spec, f_tile: int) -> int:
+    """Input length whose every DMA tile window exists without an XLA pad.
+
+    A caller that controls the producer of the (B, t1, C) input (e.g. the
+    block-0 conv over the raw wav) can pre-pad the PRODUCER's input so this
+    many rows come out directly — the rows past t1 are garbage, which is
+    fine: no output frame of the valid range reads them (pass valid_len=t1
+    to conv_stack). Kills a full HBM round trip of the block-0 activation
+    (the measured 1.4 ms pad op on the teacher spec at B=12 x 12 s)."""
+    t_out = _out_len(t1, spec)
+    n_tiles = pl.cdiv(t_out, f_tile)
+    return (n_tiles - 1) * f_tile * _stride_prod(spec) + \
+        _aligned_span(f_tile, spec)
+
+
 def conv_stack(x, weights, spec: Spec, interpret: bool = False,
-               gn_params=None):
+               gn_params=None, valid_len=None):
     """Dispatch: pallas on TPU (or interpret), XLA oracle elsewhere / for
     non-fusable specs or stacks whose weights would blow VMEM. Under an
     active kernel mesh (parallel.use_kernel_mesh) the fused path runs inside
     a shard_map over the 'data' (batch) axis with replicated weights — GSPMD
-    cannot partition a pallas_call itself."""
+    cannot partition a pallas_call itself.
+
+    valid_len: rows of x past it are DMA-alignment padding from a pre-padded
+    producer (padded_input_len); outputs are those of an x[:, :valid_len]
+    input and GN stats exclude the padding."""
     from fithubert_tpu.ops.pallas import interpret_forced
 
     interpret = interpret or interpret_forced()
@@ -361,8 +397,9 @@ def conv_stack(x, weights, spec: Spec, interpret: bool = False,
             def _fused(x_, ws_, gn_):
                 if gn_ is not None:
                     return fused_conv_stack_gn(x_, ws_, gn_[0], gn_[1], spec,
-                                               f_tile, interpret)
-                return fused_conv_stack(x_, ws_, spec, f_tile, interpret)
+                                               f_tile, interpret, valid_len)
+                return fused_conv_stack(x_, ws_, spec, f_tile, interpret,
+                                        valid_len)
 
             from fithubert_tpu.parallel import current_kernel_mesh
 
@@ -380,5 +417,6 @@ def conv_stack(x, weights, spec: Spec, interpret: bool = False,
             # ragged batch under a mesh: fall through to the XLA oracle,
             # which GSPMD partitions natively
     if gn_params is not None:
-        return _reference_stack(x, list(weights), spec, *gn_params)
-    return _reference_stack(x, list(weights), spec)
+        return _reference_stack(x, list(weights), spec, *gn_params,
+                                valid_len=valid_len)
+    return _reference_stack(x, list(weights), spec, valid_len=valid_len)

@@ -45,12 +45,14 @@ def _mask_along_axis(
     hi = max(hi, lo + 1)
     k_len, k_pos = jax.random.split(key)
     mask_len = jax.random.randint(k_len, (b, n, 1), lo, hi)
-    # position uniform in [0, L - len_i] PER mask (espnet semantics,
-    # reference utils/specaug.py:249-252) — not bounded by the batch max
+    # positions are uniform over [0, max(1, L - mask_len.max())) — ONE bound
+    # shared by the whole batch, set by the largest drawn width (espnet
+    # semantics, reference utils/specaug.py:249-252: torch.randint(0,
+    # max(1, D - mask_length.max()), ...)); the bound is traced, so draw
+    # uniform floats and floor-scale instead of randint
+    bound = jnp.maximum(1, axis_len - jnp.max(mask_len)).astype(jnp.float32)
     u = jax.random.uniform(k_pos, (b, n, 1))
-    mask_pos = jnp.floor(
-        u * jnp.maximum(1, axis_len - mask_len + 1).astype(jnp.float32)
-    ).astype(jnp.int32)
+    mask_pos = jnp.floor(u * bound).astype(jnp.int32)
     aran = jnp.arange(axis_len)[None, None, :]
     mask = (mask_pos <= aran) & (aran < mask_pos + mask_len)  # (B, n, L)
     mask = jnp.any(mask, axis=1)  # (B, L)

@@ -157,6 +157,10 @@ def run_training(
     state = distiller.shard_state(state)
 
     train_step = distiller.make_train_step()
+    steps_per_launch = max(1, cfg.train.steps_per_launch)
+    chain_step = (
+        distiller.make_train_step_chain() if steps_per_launch > 1 else None
+    )
     eval_step = distiller.make_eval_step()
     task_specific = not cfg.distiller.teacher_task_agnostic
     predict_step = decoder = None
@@ -207,6 +211,31 @@ def run_training(
                 yield q.popleft()
         while q:
             yield q.popleft()
+
+    def _launch_groups(pairs, k):
+        """Group consecutive (raw, device) batch pairs into runs of up to k
+        IDENTICAL shapes for steps_per_launch chaining. Bucketed data is
+        shape-quantized but not shape-uniform, and a lax.scan chain needs one
+        stacked shape — a shape change (or epoch end) flushes the run early;
+        short runs fall back to single-step launches."""
+        run, key = [], None
+
+        def shape_key(batch):
+            return tuple(
+                (name, tuple(np.asarray(v).shape))
+                for name, v in sorted(batch.items())
+                if not name.startswith("_")
+            )
+
+        for raw, dev in pairs:
+            sk = shape_key(raw)
+            if run and (sk != key or len(run) == k):
+                yield run
+                run = []
+            run.append((raw, dev))
+            key = sk
+        if run:
+            yield run
 
 
     def run_eval(data, epoch: int, name: str, rand) -> float:
@@ -313,25 +342,47 @@ def run_training(
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         rand = _sample_rand()
-        for batch, b in _prefetched(train_data.epoch(epoch)):
-            if cfg.train.profile_steps > 0 and global_step == prof_start:
+        for run in _launch_groups(
+            _prefetched(train_data.epoch(epoch)), steps_per_launch
+        ):
+            k = len(run)
+            if (cfg.train.profile_steps > 0 and profiler_ctx is None
+                    and prof_start <= global_step < prof_stop):
                 profiler_ctx = trace(os.path.join(out_dir, "trace"))
                 profiler_ctx.__enter__()
-            state, logs = train_step(state, teacher_params, b, rand, step_rng)
-            global_step += 1
+            if k > 1 and chain_step is not None:
+                # one launch, k optimizer steps (train.steps_per_launch):
+                # stack the same-shape device batches and scan over them
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[dev for _raw, dev in run]
+                )
+                state, logs_k = chain_step(
+                    state, teacher_params, stacked, rand, step_rng
+                )
+                logs = jax.tree.map(lambda v: v[-1], logs_k)
+            else:
+                for _raw, dev in run:
+                    state, logs = train_step(
+                        state, teacher_params, dev, rand, step_rng
+                    )
+            global_step += k
             if profiler_ctx is not None and global_step >= prof_stop:
                 jax.block_until_ready(state.params)
                 profiler_ctx.__exit__(None, None, None)
                 profiler_ctx = None
-            audio_sec = float(np.sum(~batch["padding_mask"])) / 16000.0
-            rates = timer.tick(sync_target=logs["loss"], audio_sec=audio_sec)
-            if cfg.train.monitor_losses and global_step % cfg.train.log_every == 0:
+            audio_sec = sum(
+                float(np.sum(~raw["padding_mask"])) for raw, _dev in run
+            ) / 16000.0
+            rates = timer.tick(sync_target=logs["loss"], audio_sec=audio_sec,
+                               steps=k)
+            # boundary crossed iff some sub-step in this launch hit a
+            # log_every multiple (k == 1 reduces to the plain % check)
+            log_boundary = (global_step % cfg.train.log_every) < k
+            if cfg.train.monitor_losses and log_boundary:
                 logs = jax.device_get(logs)
                 logs.update(rates)
                 logger.log(global_step, logs)
-            check_stop = (
-                num_hosts == 1 or global_step % cfg.train.log_every == 0
-            )
+            check_stop = num_hosts == 1 or log_boundary
             if check_stop and _sync_flag(guard.should_stop):
                 guard.should_stop = True  # a peer host was preempted
                 if host_id == 0:

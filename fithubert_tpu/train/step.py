@@ -182,123 +182,145 @@ class Distiller:
 
     # ------------------------------------------------------------ train step
     def make_train_step(self):
-        cfg = self.cfg
-
         def train_step(state: TrainState, teacher_params, batch, rand_layers, rng):
             """batch: {'x': (A, B, T), 'padding_mask': (A, B, T)} — leading
             axis = accumulation microbatches. The body traces under
             use_kernel_mesh so any pallas kernel on the path wraps itself in
             a shard_map over the mesh instead of stalling GSPMD."""
-            return self._with_kernel_mesh(_train_step_body)(
+            return self._with_kernel_mesh(self._train_step_body)(
                 state, teacher_params, batch, rand_layers, rng
             )
 
-        def _train_step_body(state: TrainState, teacher_params, batch, rand_layers, rng):
-            # The fold is exact only when every per-microbatch reduction has a
-            # data-INDEPENDENT denominator: corrected masked means
-            # (loss.masked_reduction) and the attn-loss inf/nan scrub divide
-            # by per-microbatch valid counts, where mean-of-means != merged
-            # mean — keep the sequential scan there. Remaining caveat: the
-            # fake-row weighting (losses._row_weighted_mean) also makes
-            # denominators data-dependent, but ONLY on the one step per epoch
-            # whose group holds the partial trailing bucket; there the fused
-            # form computes the (equally valid) global weighted mean instead
-            # of the scan's mean of per-microbatch means.
-            fuse_ok = (
-                cfg.train.fuse_grad_accum
-                and not self._has_batch_stats
-                and not cfg.loss.masked_reduction
-                and cfg.loss.attn_loss_weight == 0
-            )
-            if fuse_ok and batch["x"].shape[0] > 1:
-                # fold the accumulation axis into the batch: one big
-                # microbatch instead of a scan of small ones. Identical math
-                # for uniform shapes (losses are means over rows; grads are
-                # linear), and the MXU gets 4x-taller matmul tiles. The
-                # sharded batch axis is moved outermost first so the merge
-                # stays shard-local under a mesh (no cross-device interleave).
-                a, b = batch["x"].shape[:2]
-                batch = jax.tree.map(
-                    lambda x: jnp.swapaxes(x, 0, 1).reshape(
-                        1, a * b, *x.shape[2:]
-                    ),
-                    batch,
-                )
-
-            def loss_fn(params, extra_vars, wav, mask, labels, label_paddings, rngs):
-                loss_out, new_vars = self._forward_loss(
-                    params, extra_vars, teacher_params, wav, mask,
-                    rand_layers, rngs, deterministic=False,
-                    labels=labels, label_paddings=label_paddings,
-                )
-                return loss_out.total, (loss_out, new_vars)
-
-            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-            def micro(carry, inputs):
-                grads_acc, extra_vars, i = carry
-                step_rng = jax.random.fold_in(rng, state.step * 131071 + i)
-                rngs = {
-                    "dropout": jax.random.fold_in(step_rng, 0),
-                    "specaug": jax.random.fold_in(step_rng, 1),
-                    "layerdrop": jax.random.fold_in(step_rng, 2),
-                }
-                (loss, (loss_out, new_vars)), grads = grad_fn(
-                    state.params, extra_vars, inputs["x"], inputs["padding_mask"],
-                    inputs.get("labels"), inputs.get("label_paddings"), rngs,
-                )
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, new_vars, i + 1), (loss, loss_out.logs)
-
-            n_micro = batch["x"].shape[0]
-            if n_micro == 1:
-                # A length-1 scan still compiles to an XLA while loop: loop
-                # carries copy every grad/param through the boundary, the
-                # zeros+add accumulator touches all 22.5M grads once for
-                # nothing, and the loop edge is a fusion barrier between the
-                # backward and the optimizer. Call the body directly instead
-                # (same fold_in stream as scan index 0, so numerics and
-                # dropout masks are identical to the scan form).
-                inputs = jax.tree.map(lambda x: x[0], dict(batch))
-                step_rng = jax.random.fold_in(rng, state.step * 131071)
-                rngs = {
-                    "dropout": jax.random.fold_in(step_rng, 0),
-                    "specaug": jax.random.fold_in(step_rng, 1),
-                    "layerdrop": jax.random.fold_in(step_rng, 2),
-                }
-                (losses, (loss_out, extra_vars)), grads = grad_fn(
-                    state.params, state.extra_vars, inputs["x"],
-                    inputs["padding_mask"], inputs.get("labels"),
-                    inputs.get("label_paddings"), rngs,
-                )
-                logs = loss_out.logs
-            else:
-                zero_grads = jax.tree.map(
-                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-                )
-                (grads, extra_vars, _), (losses, logs) = jax.lax.scan(
-                    micro,
-                    (zero_grads, state.extra_vars, jnp.zeros((), jnp.int32)),
-                    dict(batch),
-                )
-                grads = jax.tree.map(lambda g: g / n_micro, grads)
-            updates, opt_state = self.tx.update(
-                grads, state.opt_state, state.params
-            )
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(
-                step=state.step + 1,
-                params=params,
-                opt_state=opt_state,
-                extra_vars=extra_vars,
-            )
-            mean_logs = jax.tree.map(jnp.mean, logs)
-            mean_logs["loss"] = jnp.mean(losses)
-            mean_logs["grad_norm"] = optax.global_norm(grads)
-            mean_logs["lr"] = self.schedule(state.step)
-            return new_state, mean_logs
-
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def make_train_step_chain(self):
+        """K full optimizer steps in ONE executable: batch leaves carry a
+        leading (K,) axis and a lax.scan over it runs K complete train steps
+        per launch. The math is byte-identical to K single launches (each
+        sub-step folds the SAME root rng with its own state.step, exactly as
+        the single-step path does), but per-launch host/runtime overhead is
+        paid once per K steps — measured ~9 ms/step on the tunneled v5e
+        (train.steps_per_launch in configs; reference has no counterpart:
+        Lightning launches every step eagerly, train.py:158)."""
+
+        def chain(state: TrainState, teacher_params, batches, rand_layers, rng):
+            def one(st, bt):
+                return self._train_step_body(st, teacher_params, bt,
+                                             rand_layers, rng)
+
+            def scan_chain(st, bts):
+                return jax.lax.scan(one, st, bts)
+
+            return self._with_kernel_mesh(scan_chain)(state, batches)
+
+        return jax.jit(chain, donate_argnums=(0,))
+
+    def _train_step_body(self, state: TrainState, teacher_params, batch, rand_layers, rng):
+        cfg = self.cfg
+        # The fold is exact only when every per-microbatch reduction has a
+        # data-INDEPENDENT denominator: corrected masked means
+        # (loss.masked_reduction) and the attn-loss inf/nan scrub divide
+        # by per-microbatch valid counts, where mean-of-means != merged
+        # mean — keep the sequential scan there. Remaining caveat: the
+        # fake-row weighting (losses._row_weighted_mean) also makes
+        # denominators data-dependent, but ONLY on the one step per epoch
+        # whose group holds the partial trailing bucket; there the fused
+        # form computes the (equally valid) global weighted mean instead
+        # of the scan's mean of per-microbatch means.
+        fuse_ok = (
+            cfg.train.fuse_grad_accum
+            and not self._has_batch_stats
+            and not cfg.loss.masked_reduction
+            and cfg.loss.attn_loss_weight == 0
+        )
+        if fuse_ok and batch["x"].shape[0] > 1:
+            # fold the accumulation axis into the batch: one big
+            # microbatch instead of a scan of small ones. Identical math
+            # for uniform shapes (losses are means over rows; grads are
+            # linear), and the MXU gets 4x-taller matmul tiles. The
+            # sharded batch axis is moved outermost first so the merge
+            # stays shard-local under a mesh (no cross-device interleave).
+            a, b = batch["x"].shape[:2]
+            batch = jax.tree.map(
+                lambda x: jnp.swapaxes(x, 0, 1).reshape(
+                    1, a * b, *x.shape[2:]
+                ),
+                batch,
+            )
+
+        def loss_fn(params, extra_vars, wav, mask, labels, label_paddings, rngs):
+            loss_out, new_vars = self._forward_loss(
+                params, extra_vars, teacher_params, wav, mask,
+                rand_layers, rngs, deterministic=False,
+                labels=labels, label_paddings=label_paddings,
+            )
+            return loss_out.total, (loss_out, new_vars)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro(carry, inputs):
+            grads_acc, extra_vars, i = carry
+            step_rng = jax.random.fold_in(rng, state.step * 131071 + i)
+            rngs = {
+                "dropout": jax.random.fold_in(step_rng, 0),
+                "specaug": jax.random.fold_in(step_rng, 1),
+                "layerdrop": jax.random.fold_in(step_rng, 2),
+            }
+            (loss, (loss_out, new_vars)), grads = grad_fn(
+                state.params, extra_vars, inputs["x"], inputs["padding_mask"],
+                inputs.get("labels"), inputs.get("label_paddings"), rngs,
+            )
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_vars, i + 1), (loss, loss_out.logs)
+
+        n_micro = batch["x"].shape[0]
+        if n_micro == 1:
+            # A length-1 scan still compiles to an XLA while loop: loop
+            # carries copy every grad/param through the boundary, the
+            # zeros+add accumulator touches all 22.5M grads once for
+            # nothing, and the loop edge is a fusion barrier between the
+            # backward and the optimizer. Call the body directly instead
+            # (same fold_in stream as scan index 0, so numerics and
+            # dropout masks are identical to the scan form).
+            inputs = jax.tree.map(lambda x: x[0], dict(batch))
+            step_rng = jax.random.fold_in(rng, state.step * 131071)
+            rngs = {
+                "dropout": jax.random.fold_in(step_rng, 0),
+                "specaug": jax.random.fold_in(step_rng, 1),
+                "layerdrop": jax.random.fold_in(step_rng, 2),
+            }
+            (losses, (loss_out, extra_vars)), grads = grad_fn(
+                state.params, state.extra_vars, inputs["x"],
+                inputs["padding_mask"], inputs.get("labels"),
+                inputs.get("label_paddings"), rngs,
+            )
+            logs = loss_out.logs
+        else:
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (grads, extra_vars, _), (losses, logs) = jax.lax.scan(
+                micro,
+                (zero_grads, state.extra_vars, jnp.zeros((), jnp.int32)),
+                dict(batch),
+            )
+            grads = jax.tree.map(lambda g: g / n_micro, grads)
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            extra_vars=extra_vars,
+        )
+        mean_logs = jax.tree.map(jnp.mean, logs)
+        mean_logs["loss"] = jnp.mean(losses)
+        mean_logs["grad_norm"] = optax.global_norm(grads)
+        mean_logs["lr"] = self.schedule(state.step)
+        return new_state, mean_logs
+
 
     # ---------------------------------------------------------- predict step
     def make_predict_step(self, vocab_size: int = 32):

@@ -57,7 +57,10 @@ class StepTimer:
         self.steps_per_sec = 0.0
         self.audio_sec_per_sec = 0.0
 
-    def tick(self, sync_target=None, audio_sec: float = 0.0) -> Dict[str, float]:
+    def tick(self, sync_target=None, audio_sec: float = 0.0,
+             steps: int = 1) -> Dict[str, float]:
+        """`steps` > 1 when one launch ran several optimizer steps
+        (train.steps_per_launch); the tick still costs one sync at most."""
         now = time.perf_counter()
         if self._t0 is None:
             # the first tick only anchors the clock: its step covers the jit
@@ -68,9 +71,9 @@ class StepTimer:
                 "steps_per_sec": self.steps_per_sec,
                 "audio_sec_per_sec": self.audio_sec_per_sec,
             }
-        self._n += 1
+        self._n += steps
         self._audio += audio_sec
-        if self._n % self.sync_every == 0 and sync_target is not None:
+        if self._n % self.sync_every < steps and sync_target is not None:
             self._barrier(sync_target)
             now = time.perf_counter()
         dt = max(now - self._t0, 1e-9)

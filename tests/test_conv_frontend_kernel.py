@@ -98,6 +98,74 @@ def test_extractor_param_tree_identical_fused_vs_not():
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+def test_valid_len_prepadded_matches_unpadded():
+    """Pre-padding the input to padded_input_len + valid_len must reproduce
+    the unpadded stack exactly (fwd + grads over the valid region) — the
+    no-XLA-pad fast path used by ConvFeatureExtractor."""
+    from fithubert_tpu.ops.pallas.conv_frontend import (
+        fused_conv_stack_gn, padded_input_len)
+
+    spec, c_in, t1 = TINY_SPEC, 16, 600
+    f_tile = 16
+    t_need = padded_input_len(t1, spec, f_tile)
+    assert t_need > t1  # the case under test
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, t1, c_in)) * 0.5, jnp.float32)
+    # garbage (not zeros) past valid_len: results must not depend on it
+    junk = jnp.asarray(rng.standard_normal((2, t_need - t1, c_in)) * 9.0,
+                       jnp.float32)
+    xp = jnp.concatenate([x, junk], axis=1)
+    ws = _weights(spec, c_in)
+    gamma = jnp.asarray(rng.standard_normal(c_in) * 0.1 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c_in) * 0.1, jnp.float32)
+
+    want = fused_conv_stack(x, ws, spec, f_tile, True)
+    got = fused_conv_stack(xp, ws, spec, f_tile, True, t1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    want_gn = fused_conv_stack_gn(x, ws, gamma, beta, spec, f_tile, True)
+    got_gn = fused_conv_stack_gn(xp, ws, gamma, beta, spec, f_tile, True, t1)
+    np.testing.assert_allclose(np.asarray(got_gn), np.asarray(want_gn),
+                               atol=3e-5, rtol=1e-5)
+
+    # grads w.r.t. the valid rows match the unpadded stack's
+    def loss_pad(x_, ws_, ga, be):
+        xp_ = jnp.concatenate([x_, junk], axis=1)
+        return jnp.sum(
+            fused_conv_stack_gn(xp_, ws_, ga, be, spec, f_tile, True, t1) ** 2)
+
+    def loss_ref(x_, ws_, ga, be):
+        return jnp.sum(_reference_stack(x_, list(ws_), spec, ga, be) ** 2)
+
+    gp = jax.grad(loss_pad, argnums=(0, 1, 2, 3))(x, ws, gamma, beta)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, ws, gamma, beta)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_extractor_prepad_matches_unfused_oracle():
+    """Extractor-level: the fused path's wav pre-pad + valid_len gives the
+    same features as the plain unfused stack (CPU oracle; last-ulp noise
+    only — the sliced GN-stat reduce associates differently than the
+    unsliced one, so bit-exactness is not expected)."""
+    from fithubert_tpu.ops.conv import ConvFeatureExtractor
+
+    spec = ((16, 10, 5), (32, 3, 2), (32, 2, 2))
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.standard_normal((2, 2000)) * 0.1, jnp.float32)
+    pa = ConvFeatureExtractor(conv_layers=spec, use_fused=True).init(
+        jax.random.PRNGKey(0), wav)
+    oa = ConvFeatureExtractor(conv_layers=spec, use_fused=True).apply(pa, wav)
+    ob = ConvFeatureExtractor(conv_layers=spec, use_fused=False).apply(pa, wav)
+    assert oa.shape == ob.shape
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                               atol=2e-6, rtol=3e-4)
+
+
 def test_gn_prefix_fused_matches_oracle():
     from fithubert_tpu.ops.pallas.conv_frontend import fused_conv_stack_gn
 

@@ -76,3 +76,20 @@ def test_preemption_checkpoint(tmp_path):
     r2 = run_training(_smoke_cfg(out, max_steps=r["steps"] + 2, num_epochs=500),
                       resume=True)
     assert r2["steps"] >= r["steps"]
+
+
+@pytest.mark.slow
+def test_steps_per_launch_chained_loop(tmp_path):
+    """steps_per_launch > 1: the loop chains same-shape launch groups via
+    lax.scan, counts every step, and still respects max_steps (granularity
+    is the launch, so the count may land on a chain boundary)."""
+    from fithubert_tpu.train.loop import run_training
+
+    out = tmp_path / "run_c"
+    cfg = _smoke_cfg(out, max_steps=6, num_epochs=8)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_launch=2)
+    )
+    r = run_training(cfg, resume=False)
+    assert 6 <= r["steps"] <= 7  # may overshoot by < steps_per_launch
+    assert os.path.exists(out / "student.msgpack")

@@ -340,3 +340,44 @@ def test_fake_rows_contribute_no_loss_train_path():
     np.testing.assert_allclose(
         out["padded"]["grad_norm"], out["real"]["grad_norm"], rtol=1e-4
     )
+
+
+def test_chain_matches_single_launches():
+    """make_train_step_chain (train.steps_per_launch): K steps in one
+    executable must reproduce K single-step launches — same rng stream
+    (each sub-step folds the root rng with its own state.step), same
+    params/opt state up to executable-fusion float noise."""
+    cfg = tiny_cfg()
+    rng = jax.random.PRNGKey(0)
+    k = 3
+    batches = [make_batch(jax.random.PRNGKey(10 + i)) for i in range(k)]
+
+    d = Distiller(cfg, mesh=make_mesh(1), num_training_steps=100,
+                  teacher_geometry=tiny_teacher_geometry())
+    tp = d.init_teacher_params(rng, batches[0]["x"][0])
+    state0 = d.init_state(jax.random.PRNGKey(1), batches[0]["x"][0])
+
+    step = d.make_train_step()
+    state_a = state0
+    logs_a = []
+    for b in batches:
+        state_a, logs = step(state_a, tp, b, jnp.zeros((1,), jnp.int32), rng)
+        logs_a.append(logs)
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    chain = d.make_train_step_chain()
+    state_b, logs_b = chain(
+        d.init_state(jax.random.PRNGKey(1), batches[0]["x"][0]),
+        tp, stacked, jnp.zeros((1,), jnp.int32), rng,
+    )
+
+    assert int(state_b.step) == int(state_a.step) == k
+    for i in range(k):
+        np.testing.assert_allclose(
+            float(logs_b["loss"][i]), float(logs_a[i]["loss"]), rtol=2e-5
+        )
+    ta = jax.tree.leaves(state_a.params)
+    tb = jax.tree.leaves(state_b.params)
+    for a, b in zip(ta, tb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=2e-4)
