@@ -279,8 +279,13 @@ def bench_train_step(platform, quick, sync):
         state, logs = step(state, teacher_params, batch, rand_layers, rng)
     sync(logs["loss"])
     dt = time.perf_counter() - t0
-
     steps_per_sec = iters / dt
+    # NOTE: a train.steps_per_launch=4 chain variant was benched here and
+    # measured 0.989x the single-launch rate — launches already pipeline
+    # over the tunnel, and the scan's train-state loop carry costs a little.
+    # The headline therefore stays the single-launch step (the chain remains
+    # a loop feature for environments with real per-launch overhead).
+
     audio_per_sec = steps_per_sec * accum * b * wav_sec
     flops_per_step = _kd_step_flops(cfg, teacher_geom, b, t_wav, accum)
     kind = jax.devices()[0].device_kind

@@ -329,8 +329,13 @@ def fused_conv_stack_gn(x, weights, gamma, beta, spec: Spec, f_tile: int,
 def _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret,
                   valid_len=None):
     x32 = (x if valid_len is None else x[:, :valid_len]).astype(jnp.float32)
+    # one-pass moments: jnp.var is E[(x-mean)^2], which XLA lowers as a
+    # SECOND full read of the block-0 activation (~1 ms at the teacher's
+    # 472 MB on v5e); E[x^2]-E[x]^2 fuses both stats into one pass. fp32
+    # accumulation over ~38k O(1) values keeps the cancellation error
+    # ~1e-5 relative — below the kernel's own bf16 quantization.
     mean = jnp.mean(x32, axis=1)  # (B, C)
-    var = jnp.var(x32, axis=1)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=1) - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + 1e-5)
     scale = (rstd * gamma[None, :]).astype(x.dtype)
     shift = (beta[None, :] - mean * rstd * gamma[None, :]).astype(x.dtype)

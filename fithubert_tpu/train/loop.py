@@ -23,6 +23,32 @@ from fithubert_tpu.train.step import Distiller
 from fithubert_tpu.utils.logging import MetricsLogger
 
 
+def _launch_groups(pairs, k):
+    """Group consecutive (raw, device) batch pairs into runs of up to k
+    IDENTICAL shapes for steps_per_launch chaining. Bucketed data is
+    shape-quantized but not shape-uniform, and a lax.scan chain needs one
+    stacked shape — a shape change (or epoch end) flushes the run early;
+    short runs fall back to single-step launches."""
+    run, key = [], None
+
+    def shape_key(batch):
+        return tuple(
+            (name, tuple(np.asarray(v).shape))
+            for name, v in sorted(batch.items())
+            if not name.startswith("_")
+        )
+
+    for raw, dev in pairs:
+        sk = shape_key(raw)
+        if run and (sk != key or len(run) == k):
+            yield run
+            run = []
+        run.append((raw, dev))
+        key = sk
+    if run:
+        yield run
+
+
 def _sample_rand_layers(rng: random.Random, cfg: ExperimentConfig) -> np.ndarray:
     """Per-epoch random distill layers (reference train.py:88-91,172-174):
     sample(range(N-1), k) — the release config's k = N-1 selects all."""
@@ -212,30 +238,6 @@ def run_training(
         while q:
             yield q.popleft()
 
-    def _launch_groups(pairs, k):
-        """Group consecutive (raw, device) batch pairs into runs of up to k
-        IDENTICAL shapes for steps_per_launch chaining. Bucketed data is
-        shape-quantized but not shape-uniform, and a lax.scan chain needs one
-        stacked shape — a shape change (or epoch end) flushes the run early;
-        short runs fall back to single-step launches."""
-        run, key = [], None
-
-        def shape_key(batch):
-            return tuple(
-                (name, tuple(np.asarray(v).shape))
-                for name, v in sorted(batch.items())
-                if not name.startswith("_")
-            )
-
-        for raw, dev in pairs:
-            sk = shape_key(raw)
-            if run and (sk != key or len(run) == k):
-                yield run
-                run = []
-            run.append((raw, dev))
-            key = sk
-        if run:
-            yield run
 
 
     def run_eval(data, epoch: int, name: str, rand) -> float:

@@ -93,3 +93,25 @@ def test_steps_per_launch_chained_loop(tmp_path):
     r = run_training(cfg, resume=False)
     assert 6 <= r["steps"] <= 7  # may overshoot by < steps_per_launch
     assert os.path.exists(out / "student.msgpack")
+
+
+def test_launch_groups_chunking():
+    """Runs break on shape change and cap at k; every batch appears exactly
+    once, in order."""
+    import numpy as np
+
+    from fithubert_tpu.train.loop import _launch_groups
+
+    def b(t, tag):
+        return {"x": np.zeros((2, t)), "padding_mask": np.zeros((2, t), bool),
+                "_tag": tag}
+
+    seq = [b(100, 0), b(100, 1), b(100, 2), b(200, 3), b(200, 4), b(100, 5)]
+    pairs = [(raw, raw) for raw in seq]
+    runs = list(_launch_groups(pairs, 2))
+    got = [[raw["_tag"] for raw, _dev in run] for run in runs]
+    # 100s: [0,1] then [2] (cap 2, then shape change), 200s: [3,4], tail [5]
+    assert got == [[0, 1], [2], [3, 4], [5]]
+    # k=1 degenerates to singletons
+    assert [[r["_tag"] for r, _d in run] for run in _launch_groups(pairs, 1)] \
+        == [[0], [1], [2], [3], [4], [5]]

@@ -238,3 +238,31 @@ def test_scan_layers_equals_unrolled():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_conv_custom_vjp_matches_autodiff():
+    """grouped_conv_same expresses the input-grad as a forward grouped conv
+    (the pos-conv perf path); its custom VJP must equal XLA autodiff of the
+    plain conv exactly, for even and odd kernels."""
+    from fithubert_tpu.ops.conv import _conv_dn, grouped_conv_same
+
+    rng = np.random.default_rng(0)
+    for (b, t, c, g, k) in [(2, 50, 32, 4, 16), (1, 37, 24, 8, 9)]:
+        x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, c // g, c)) * 0.1, jnp.float32)
+        pad = (k // 2, k // 2)
+
+        def ref(x, w):
+            return jnp.sum(jnp.sin(jax.lax.conv_general_dilated(
+                x, w, window_strides=(1,), padding=[pad],
+                dimension_numbers=_conv_dn(), feature_group_count=g)))
+
+        def ours(x, w):
+            return jnp.sum(jnp.sin(grouped_conv_same(x, w, pad, g)))
+
+        np.testing.assert_allclose(ref(x, w), ours(x, w), rtol=1e-6)
+        gr = jax.grad(ref, argnums=(0, 1))(x, w)
+        go = jax.grad(ours, argnums=(0, 1))(x, w)
+        for a, bb in zip(gr, go):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-5, rtol=1e-5)
