@@ -247,9 +247,9 @@ def bench_train_step(platform, quick, sync):
 
     rng = jax.random.PRNGKey(0)
     sample_wav = jnp.zeros((b, t_wav), jnp.float32)
-    teacher_params = _zeros_like_shapes(
+    teacher_params = distiller.prepare_teacher_params(_zeros_like_shapes(
         jax.eval_shape(distiller.init_teacher_params, rng, sample_wav)
-    )
+    ))
     state = _zeros_like_shapes(
         jax.eval_shape(distiller.init_state, rng, sample_wav)
     )

@@ -117,7 +117,34 @@ class Distiller:
             extra_vars=jax.tree.map(lambda x: jax.device_put(x, rep), state.extra_vars),
         )
 
+    def prepare_teacher_params(self, teacher_params):
+        """Store the frozen teacher's matmul weights in the compute dtype.
+
+        The teacher never trains, so no fp32 master copy is needed: casting
+        once here halves its weight HBM traffic (~190 MB/step at
+        HuBERT-Base bf16) and removes the per-use f32->bf16 converts flax
+        would otherwise emit inside every matmul fusion. Norm affines and
+        the weight-normed pos conv stay fp32 — their math runs in fp32
+        (ops/norms.py, ops/conv.py:PositionalConv), so pre-quantizing them
+        would change numerics for no measurable byte savings."""
+        dt = jnp.dtype(self.teacher_geometry.compute_dtype)
+        if dt == jnp.float32:
+            return teacher_params
+        keep_fp32 = ("pos_conv", "layer_norm", "group_norm", "batch_norm",
+                     "norm", "weight_g", "weight_v")
+
+        def cast(path, leaf):
+            names = [str(getattr(k, "key", k)) for k in path]
+            if leaf.dtype != jnp.float32 or any(
+                s in n for n in names for s in keep_fp32
+            ):
+                return leaf
+            return leaf.astype(dt)
+
+        return jax.tree_util.tree_map_with_path(cast, teacher_params)
+
     def shard_teacher(self, teacher_params):
+        teacher_params = self.prepare_teacher_params(teacher_params)
         pspec = param_sharding(self.mesh, teacher_params)
         return jax.tree.map(jax.device_put, teacher_params, pspec)
 

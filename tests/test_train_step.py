@@ -381,3 +381,33 @@ def test_chain_matches_single_launches():
     for a, b in zip(ta, tb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=2e-4)
+
+
+def test_teacher_bf16_storage_is_exact():
+    """prepare_teacher_params stores matmul weights in bf16; since flax
+    Dense casts f32 params to the bf16 compute dtype per-use anyway, the
+    pre-cast must change NOTHING in the teacher's outputs (norm affines and
+    the weight-normed pos conv stay fp32 by design)."""
+    import dataclasses as dc
+
+    cfg = tiny_cfg()
+    geom = dc.replace(tiny_teacher_geometry(), compute_dtype="bfloat16")
+    d = Distiller(cfg, mesh=make_mesh(1), num_training_steps=10,
+                  teacher_geometry=geom)
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(jax.random.PRNGKey(2), (2, 4000)) * 0.1
+    mask = jnp.zeros((2, 4000), bool)
+    tp = d.init_teacher_params(rng, wav)
+    tp_cast = d.prepare_teacher_params(tp)
+
+    # weight-norm + norm leaves stayed fp32; at least one dense kernel cast
+    leaves = jax.tree_util.tree_leaves_with_path(tp_cast)
+    dtypes = {"/".join(str(getattr(k, "key", k)) for k in p): l.dtype
+              for p, l in leaves}
+    assert any(v == jnp.bfloat16 for v in dtypes.values())
+    assert all(v == jnp.float32 for k, v in dtypes.items()
+               if "pos_conv" in k or "norm" in k)
+
+    a = d.teacher.apply(tp, wav, mask)
+    b = d.teacher.apply(tp_cast, wav, mask)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
