@@ -307,7 +307,11 @@ class BucketedLibriSpeech:
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
         pad = (-len(order)) % self.accum
-        if pad:  # square off the trailing group with fake (-1) microbatches
+        if pad and self.pad_batch_to_full:
+            # square off the trailing group with fake (-1) all-padding
+            # microbatches; without pad_batch_to_full a fake bucket has no
+            # well-defined row count (real buckets keep their true sizes),
+            # so the trailing group simply stays short (A < accum) there
             order = np.concatenate([order, np.full(pad, -1, order.dtype)])
         return [
             order[i : i + self.accum] for i in range(0, len(order), self.accum)

@@ -49,6 +49,15 @@ def _launch_groups(pairs, k):
         yield run
 
 
+def _use_chain(k: int, steps_per_launch: int) -> bool:
+    """Only FULL runs take the chained executable. A partial run (shape
+    change or epoch end flushed it early) would jit a DISTINCT chained
+    executable per run length — each TPU compile costs ~80 s over the
+    remote endpoint, dwarfing the ~ms/step a chain saves — so short runs
+    fall back to single-step launches, whose executable always exists."""
+    return k == steps_per_launch and k > 1
+
+
 def _sample_rand_layers(rng: random.Random, cfg: ExperimentConfig) -> np.ndarray:
     """Per-epoch random distill layers (reference train.py:88-91,172-174):
     sample(range(N-1), k) — the release config's k = N-1 selects all."""
@@ -352,7 +361,7 @@ def run_training(
                     and prof_start <= global_step < prof_stop):
                 profiler_ctx = trace(os.path.join(out_dir, "trace"))
                 profiler_ctx.__enter__()
-            if k > 1 and chain_step is not None:
+            if _use_chain(k, steps_per_launch) and chain_step is not None:
                 # one launch, k optimizer steps (train.steps_per_launch):
                 # stack the same-shape device batches and scan over them
                 stacked = jax.tree.map(

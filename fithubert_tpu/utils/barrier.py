@@ -34,6 +34,29 @@ def fetch_barrier(x) -> None:
     np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
 
+def timed_fetch_barrier(x, timeout: float = 60.0) -> bool:
+    """`fetch_barrier` under a watchdog thread.
+
+    Returns True iff the fetch completed within `timeout` seconds.  On False
+    the tunnel's fetch path is wedged (compute may still be healthy) and the
+    daemon fetch thread is intentionally leaked — callers must stop taking
+    fetch barriers (one leaked thread per attempt) and mark their timings
+    untrusted rather than hang the training loop."""
+    done = []
+
+    def run():
+        try:
+            fetch_barrier(x)
+            done.append(True)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=timeout)
+    return bool(done)
+
+
 def probe_fetch(timeout: float = 60.0) -> bool:
     """True iff a device->host fetch completes within `timeout` seconds.
 

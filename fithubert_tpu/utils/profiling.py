@@ -46,16 +46,43 @@ class StepTimer:
     before remote execution finishes, which would inflate steps/sec (the same
     failure that produced the bogus BENCH_r02 headline)."""
 
-    def __init__(self, sync_every: int = 20, barrier=None):
-        from fithubert_tpu.utils.barrier import fetch_barrier
-
+    def __init__(self, sync_every: int = 20, barrier=None,
+                 fetch_timeout: float = 60.0):
         self.sync_every = max(1, sync_every)
-        self._barrier = barrier if barrier is not None else fetch_barrier
+        self._barrier = barrier  # None -> watchdogged fetch barrier
+        self._fetch_timeout = fetch_timeout
+        self.fetch_ok = True
         self._n = 0
         self._t0: Optional[float] = None
         self._audio = 0.0
         self.steps_per_sec = 0.0
         self.audio_sec_per_sec = 0.0
+
+    def _sync(self, target) -> None:
+        """One honest barrier, guarded against a wedged tunnel fetch path.
+
+        The fetch can wedge for extended periods while compute continues
+        (CLAUDE.md); an unguarded device_get here would stall training on a
+        healthy chip. After the first timeout the timer stops taking fetch
+        barriers (each timed-out attempt leaks one daemon thread), degrades
+        to block_until_ready, and flags every subsequent rate as untrusted
+        in tick()'s return — degraded, but LOUDLY."""
+        if self._barrier is not None:
+            self._barrier(target)
+            return
+        from fithubert_tpu.utils.barrier import timed_fetch_barrier
+
+        if self.fetch_ok:
+            if not timed_fetch_barrier(target, timeout=self._fetch_timeout):
+                self.fetch_ok = False
+                print(
+                    "[StepTimer] device->host fetch wedged (>"
+                    f"{self._fetch_timeout:.0f}s); falling back to "
+                    "block_until_ready — steps/s is now UNTRUSTED",
+                    flush=True,
+                )
+        if not self.fetch_ok:
+            jax.block_until_ready(target)
 
     def tick(self, sync_target=None, audio_sec: float = 0.0,
              steps: int = 1) -> Dict[str, float]:
@@ -74,12 +101,15 @@ class StepTimer:
         self._n += steps
         self._audio += audio_sec
         if self._n % self.sync_every < steps and sync_target is not None:
-            self._barrier(sync_target)
+            self._sync(sync_target)
             now = time.perf_counter()
         dt = max(now - self._t0, 1e-9)
         self.steps_per_sec = self._n / dt
         self.audio_sec_per_sec = self._audio / dt
-        return {
+        out = {
             "steps_per_sec": self.steps_per_sec,
             "audio_sec_per_sec": self.audio_sec_per_sec,
         }
+        if not self.fetch_ok:
+            out["timing_untrusted"] = 1.0
+        return out

@@ -79,13 +79,17 @@ def extract_frame_features(
         out = expert(chunk)
         hs = out["hidden_states"][layer]
         pad = out["padding_mask"]
+        # hs.shape[1] is set by the LONGEST wav in the chunk — frame counts
+        # must be derived against it, not chunk[0] (which may be shorter and
+        # would over-count valid frames for every other row)
+        t_max = max(len(w) for w in chunk)
         for j, w in enumerate(chunk):
             if pad is not None and pad.shape[1] == hs.shape[1]:
                 valid = ~pad[j]
             else:  # mask is at a different rate (e.g. post-TR): length-derive
                 n_frames = min(
                     hs.shape[1],
-                    int(len(w) * hs.shape[1] / (len(chunk[0]) + 1e-9)) or 1,
+                    int(len(w) * hs.shape[1] / (t_max + 1e-9)) or 1,
                 )
                 valid = np.arange(hs.shape[1]) < n_frames
             f = np.asarray(hs[j][valid], np.float32)

@@ -186,6 +186,26 @@ def test_trailing_accum_group_trains_every_bucket(corpus):
     assert np.all(last["x"][1] == 0.0)
 
 
+def test_trailing_group_without_pad_batch_stays_short(corpus):
+    """pad_batch_to_full=False keeps true bucket sizes, so a fake (-1)
+    microbatch has no well-defined row count — the trailing group must stay
+    SHORT (A < accum) instead of crashing np.stack on a 0-row fake."""
+    root, split = corpus
+    ds = BucketedLibriSpeech(_cfg(root), [split], batch_size=2, accum=2,
+                             shuffle=False, pad_batch_to_full=False)
+    assert len(ds.buckets) == 3
+    batches = list(ds.epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["x"].shape[0] == 2  # full group
+    assert batches[-1]["x"].shape[0] == 1  # short trailing group, no fake
+    real_rows = sum(
+        int((~b["padding_mask"][a]).any(axis=-1).sum())
+        for b in batches
+        for a in range(b["x"].shape[0])
+    )
+    assert real_rows == 6  # every utterance still trains
+
+
 def test_trailing_accum_group_step_is_finite(corpus):
     """A step batch whose last microbatch is entirely fabricated must flow
     through the jitted train step with a finite loss and finite grads."""

@@ -95,6 +95,19 @@ def test_steps_per_launch_chained_loop(tmp_path):
     assert os.path.exists(out / "student.msgpack")
 
 
+def test_partial_runs_do_not_chain():
+    """Only FULL k-length runs may take the chained executable: each
+    distinct partial run length would jit a fresh ~80 s chained compile on
+    the remote TPU endpoint, dwarfing the per-step win."""
+    from fithubert_tpu.train.loop import _use_chain
+
+    assert _use_chain(4, 4)
+    assert not _use_chain(3, 4)  # flushed early: single-step fallback
+    assert not _use_chain(2, 4)
+    assert not _use_chain(1, 4)
+    assert not _use_chain(1, 1)  # chaining disabled entirely
+
+
 def test_launch_groups_chunking():
     """Runs break on shape change and cap at k; every batch appears exactly
     once, in order."""

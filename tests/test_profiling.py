@@ -23,11 +23,43 @@ def test_fetch_barrier_accepts_trees_and_scalars():
     fetch_barrier(jnp.float32(1.0))
 
 
-def test_steptimer_uses_fetch_barrier_by_default():
-    """The default barrier must be the fetch-based one — a plain
-    block_until_ready default silently reintroduces the r02 failure."""
+def test_steptimer_uses_watchdogged_fetch_by_default():
+    """The default sync must be the WATCHDOGGED fetch barrier: a plain
+    block_until_ready default silently reintroduces the r02 failure, and an
+    unguarded device_get would stall training when the tunnel's fetch path
+    wedges while compute stays healthy."""
     timer = StepTimer(sync_every=1)
-    assert timer._barrier is fetch_barrier
+    assert timer._barrier is None  # None -> timed_fetch_barrier in _sync
+    assert timer.fetch_ok
+    x = jnp.ones(())
+    timer.tick(sync_target=x)  # anchor
+    timer.tick(sync_target=x)  # real sync through the watchdogged path
+    assert timer.fetch_ok
+    assert "timing_untrusted" not in timer.tick(sync_target=x)
+
+
+def test_steptimer_degrades_loudly_on_wedged_fetch(monkeypatch):
+    """A wedged fetch (timed_fetch_barrier -> False) must flip the timer to
+    block_until_ready, flag every subsequent rate untrusted, and never be
+    retried (each timed-out attempt leaks a daemon thread)."""
+    import fithubert_tpu.utils.barrier as barrier_mod
+
+    attempts = []
+
+    def wedged(x, timeout):
+        attempts.append(timeout)
+        return False
+
+    monkeypatch.setattr(barrier_mod, "timed_fetch_barrier", wedged)
+    timer = StepTimer(sync_every=1, fetch_timeout=2.0)
+    x = jnp.ones(())
+    timer.tick(sync_target=x)  # anchor
+    out = timer.tick(sync_target=x)
+    assert not timer.fetch_ok
+    assert out["timing_untrusted"] == 1.0
+    out = timer.tick(sync_target=x)
+    assert out["timing_untrusted"] == 1.0
+    assert attempts == [2.0]  # no second wedge attempt
 
 
 def test_steptimer_barrier_actually_called():
