@@ -17,6 +17,12 @@ def test_probe_fetch_healthy_backend():
     assert probe_fetch(timeout=30.0) is True
 
 
+def test_timed_fetch_barrier_healthy_backend():
+    from fithubert_tpu.utils.barrier import timed_fetch_barrier
+
+    assert timed_fetch_barrier(jnp.ones((2, 2)), timeout=30.0) is True
+
+
 def test_fetch_barrier_accepts_trees_and_scalars():
     fetch_barrier(jnp.ones((4, 4)))
     fetch_barrier({"a": jnp.zeros((2,)), "b": jnp.ones((3, 3))})
