@@ -18,7 +18,13 @@ from flax import linen as nn
 
 from fithubert_tpu.config import SpecAugConfig, StudentConfig
 from fithubert_tpu.ops.conv import ConvFeatureExtractor, ConvTranspose1D, grad_multiply
-from fithubert_tpu.ops.heads import LayerWiseProjHead, MelSpecHead, SplitLinear
+from fithubert_tpu.ops.heads import (
+    LayerWiseProjHead,
+    LayerWiseProjHeadParams,
+    MelSpecHead,
+    SplitLinear,
+    batched_layerwise_proj,
+)
 from fithubert_tpu.ops.mel import mel_spectrogram
 from fithubert_tpu.ops.norms import FP32LayerNorm
 from fithubert_tpu.ops.padding import (
@@ -167,26 +173,56 @@ class StudentModel(nn.Module):
 
         # ---- heads ----------------------------------------------------------
         if cfg.layerwise_proj:
-            heads = [
-                LayerWiseProjHead(
+            if self.disable_projections:
+                # export keeps the last head as final_proj (reference :393-399)
+                x = LayerWiseProjHead(
                     in_dim=cfg.encoder_embed_dim,
                     out_dim=cfg.pred_head_final_dim,
                     enable_tr_layer=cfg.enable_tr_layer,
                     tr_reduce_factor=cfg.tr_reduce_factor,
                     dtype=dtype,
-                    name=f"proj_head_{i}",
-                )
-                for i in range(cfg.encoder_layers)
-            ]
-            if self.disable_projections:
-                # export keeps the last head as final_proj (reference :393-399)
-                x = heads[-1](x)
+                    name=f"proj_head_{cfg.encoder_layers - 1}",
+                )(x)
                 projections = None
             else:
-                projections = [
-                    head(enc.layer_results[i][0]) for i, head in enumerate(heads)
+                hiddens = [
+                    enc.layer_results[i][0] for i in range(cfg.encoder_layers)
                 ]
-                x = projections[-1]
+                if all(h.shape == hiddens[0].shape for h in hiddens):
+                    # all L heads batched into two (L, ...) einsums — identical
+                    # param tree and numerics to per-layer LayerWiseProjHeads,
+                    # but 2 large MXU matmuls instead of 24 small ones (and the
+                    # per-slot loss reduces can no longer fuse a dot each)
+                    head_params = [
+                        LayerWiseProjHeadParams(
+                            in_dim=cfg.encoder_embed_dim,
+                            out_dim=cfg.pred_head_final_dim,
+                            enable_tr_layer=cfg.enable_tr_layer,
+                            tr_reduce_factor=cfg.tr_reduce_factor,
+                            name=f"proj_head_{i}",
+                        )()
+                        for i in range(cfg.encoder_layers)
+                    ]
+                    projections = batched_layerwise_proj(
+                        hiddens, head_params, dtype
+                    )  # (B, L, T', D)
+                    x = projections[:, -1]
+                else:
+                    # a mid-encoder TR layer (tr_layer_index > 0) leaves the
+                    # pre-TR hiddens at a longer frame rate — heads must run
+                    # per layer (projections stays a ragged list)
+                    projections = [
+                        LayerWiseProjHead(
+                            in_dim=cfg.encoder_embed_dim,
+                            out_dim=cfg.pred_head_final_dim,
+                            enable_tr_layer=cfg.enable_tr_layer,
+                            tr_reduce_factor=cfg.tr_reduce_factor,
+                            dtype=dtype,
+                            name=f"proj_head_{i}",
+                        )(hiddens[i])
+                        for i in range(cfg.encoder_layers)
+                    ]
+                    x = projections[-1]
         else:
             if cfg.enable_tr_layer:
                 x = ConvTranspose1D(

@@ -25,12 +25,27 @@ from fithubert_tpu.config import LossConfig, StudentConfig
 from fithubert_tpu.models.student import StudentOutput
 from fithubert_tpu.models.teacher import TeacherOutput
 
+# Experiment knob (see /tmp/exp_heads experiments): XLA fuses each per-slot
+# MSE reduce into the projection-head matmul that feeds it, yielding 12
+# convert_reduce_fusions at ~0.47 ms each (~10x their flop/bandwidth bound).
+# The barrier splits matmuls from reduces so each lowers to its fast form.
+import os as _os
+
+_LOSS_MATMUL_BARRIER = _os.environ.get("FITH_LOSS_BARRIER", "0") == "1"
+
 
 class LossOutput(NamedTuple):
     total: jnp.ndarray
     logs: Dict[str, jnp.ndarray]  # per-term and per-layer scalars
     last_layer_loss: jnp.ndarray  # 'l{N-1}' — the reference's v_loss monitor
     # (train.py:194-195 uses the last layer's feat loss for early stopping)
+
+
+def _as_stack(projections):
+    """(B, L, T, D) from either an already-stacked array or a per-layer list."""
+    if isinstance(projections, (list, tuple)):
+        return jnp.stack(list(projections), axis=1)
+    return projections
 
 
 def _row_weighted_mean(x, rv, keep_axis1: bool = False):
@@ -140,8 +155,11 @@ def compute_losses(
         logs["cnn_loss"] = cnn_loss
 
     # ---- assemble pred / target stacks --------------------------------------
-    # teacher hiddens: (B, L, T_t, D)
-    teacher_stack = jnp.stack([f32(h) for (h, _, _) in teacher.layer_results], axis=1)
+    # teacher hiddens: (B, L, T_t, D). Stacks stay in the model compute dtype
+    # (bf16 under use_fp16) — the f32 upcast happens lazily right before the
+    # loss math (same numerics: the convert is exact and fuses into the
+    # elementwise+reduce fusion instead of materializing a 2x-size stack).
+    teacher_stack = jnp.stack([h for (h, _, _) in teacher.layer_results], axis=1)
 
     rec_loss = zero
     sim_loss = zero
@@ -157,7 +175,7 @@ def compute_losses(
     if cfg.rec_loss_weight > 0 or cfg.sim_loss_weight > 0:
         if random_mode:
             assert rand_layers is not None
-            proj_stack = jnp.stack([f32(p) for p in student.projections], axis=1)
+            proj_stack = _as_stack(student.projections)
             n_slots = int(rand_layers.shape[0])
             if (n_slots == teacher_stack.shape[1] - 1
                     and n_slots == proj_stack.shape[1] - 1):
@@ -187,16 +205,23 @@ def compute_losses(
             ids = jnp.asarray(student_cfg.pred_layer_id, jnp.int32)
             target = jnp.take(teacher_stack, ids, axis=1)
             if student_cfg.layerwise_proj:
-                proj_stack = jnp.stack([f32(p) for p in student.projections], axis=1)
+                proj_stack = _as_stack(student.projections)
                 pred = jnp.take(proj_stack, ids, axis=1)
             else:
-                pred = f32(student.projections)  # (B, N, T, D)
+                pred = student.projections  # (B, N, T, D)
         # time alignment: TR floor/pad can leave either side 1 frame longer
         # (the reference only narrows the teacher, train.py:282, and crashes
         # when the student is longer) — crop both to the common length
         t_s = min(pred.shape[2], target.shape[2])
         pred = pred[:, :, :t_s]
         target = target[:, :, :t_s]
+        if _LOSS_MATMUL_BARRIER:
+            # split the head matmuls from the per-slot loss reduces (see the
+            # module-level note); barrier BEFORE the f32 upcast so only the
+            # compute-dtype stack materializes
+            pred = jax.lax.optimization_barrier(pred)
+        pred = f32(pred)
+        target = f32(target)
 
         layer_mask = (
             frame_mask[:, None, :t_s, None] if frame_mask is not None else None

@@ -67,7 +67,7 @@ def test_student_output_contract():
     assert out.padding_mask.shape == (2, t_frames // 2)
     # padding mask reduced via any() semantics: item 1 has 5000/8000 valid
     assert int((~out.padding_mask[1]).sum()) < int((~out.padding_mask[0]).sum())
-    assert len(out.projections) == 2
+    assert out.projections.shape[1] == 2  # (B, L, T', D) stacked heads
 
 
 @pytest.mark.parametrize("tr_type", ["fc1", "fc2", "conv1d"])

@@ -266,3 +266,59 @@ def test_grouped_conv_custom_vjp_matches_autodiff():
         for a, bb in zip(gr, go):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_batched_layerwise_proj_equals_per_head_modules():
+    """The batched (L, ...) einsum head path is a drop-in for L separate
+    LayerWiseProjHead modules: byte-identical param tree (names, shapes,
+    init values) and matching outputs."""
+    from flax import linen as nn_f
+
+    from fithubert_tpu.ops.heads import (
+        LayerWiseProjHead,
+        LayerWiseProjHeadParams,
+        batched_layerwise_proj,
+    )
+
+    L, B, T, C, D = 4, 2, 10, 16, 24
+    key = jax.random.PRNGKey(0)
+    hs = [jax.random.normal(jax.random.PRNGKey(i + 1), (B, T, C)) for i in range(L)]
+
+    class PerHead(nn_f.Module):
+        @nn_f.compact
+        def __call__(self, hs):
+            return [
+                LayerWiseProjHead(
+                    in_dim=C, out_dim=D, enable_tr_layer=True,
+                    tr_reduce_factor=2, name=f"proj_head_{i}",
+                )(hs[i])
+                for i in range(L)
+            ]
+
+    class Batched(nn_f.Module):
+        @nn_f.compact
+        def __call__(self, hs):
+            hp = [
+                LayerWiseProjHeadParams(
+                    in_dim=C, out_dim=D, enable_tr_layer=True,
+                    tr_reduce_factor=2, name=f"proj_head_{i}",
+                )()
+                for i in range(L)
+            ]
+            return batched_layerwise_proj(hs, hp, jnp.float32)
+
+    p1 = PerHead().init(key, hs)
+    p2 = Batched().init(key, hs)
+    flat1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+    assert [k for k, _ in flat1] == [k for k, _ in flat2]
+    for (k, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k))
+
+    out1 = PerHead().apply(p1, hs)  # list of (B, 2T, D)
+    out2 = Batched().apply(p1, hs)  # (B, L, 2T, D) — same params apply to both
+    for i in range(L):
+        np.testing.assert_allclose(
+            np.asarray(out1[i]), np.asarray(out2[:, i]), rtol=0, atol=2e-6,
+            err_msg=f"head {i}",
+        )

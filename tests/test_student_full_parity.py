@@ -165,7 +165,7 @@ def test_student_forward_matches_torch_oracle():
     up_valid = np.repeat(valid, TRF, axis=1)
     for i, pt in enumerate(projs_t):
         np.testing.assert_allclose(
-            np.asarray(out.projections[i])[up_valid], pt.numpy()[up_valid],
+            np.asarray(out.projections[:, i])[up_valid], pt.numpy()[up_valid],
             atol=1e-4, err_msg=f"projection {i} mismatch",
         )
     # x is the last projection (reference modules/model.py:505-516 layerwise)
