@@ -206,7 +206,13 @@ class StudentModel(nn.Module):
                     projections = batched_layerwise_proj(
                         hiddens, head_params, dtype
                     )  # (B, L, T', D)
-                    x = projections[:, -1]
+                    # x == projections[:, -1], but computed from the last
+                    # head alone so forward-only consumers (feature
+                    # extraction benches) DCE the 11 unused heads, and
+                    # CTC-less training DCEs this x path instead
+                    x = batched_layerwise_proj(
+                        hiddens[-1:], head_params[-1:], dtype
+                    )[:, 0]
                 else:
                     # a mid-encoder TR layer (tr_layer_index > 0) leaves the
                     # pre-TR hiddens at a longer frame rate — heads must run

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -76,8 +77,6 @@ class _ConvTransposeParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        import math
-
         bound = 1.0 / math.sqrt(self.in_ch * self.kernel_size)
         uniform = nn.initializers.uniform(scale=2 * bound)
 
