@@ -114,9 +114,14 @@ def _encoder_flops(b, t, c, ffn, layers, heads, pos_k, pos_g, t_pos=None):
     return pos + layers * per_layer
 
 
-def _student_fwd_flops(d, b, t_wav):
+def _student_fwd_flops(d, b, t_wav, live_heads=None):
     """Analytic matmul FLOPs of ONE student forward pass (extractor +
-    encoder + TR/upsample + projection heads) at batch b, t_wav samples."""
+    encoder + TR/upsample + projection heads) at batch b, t_wav samples.
+
+    live_heads: how many layer-wise projection heads the consumer actually
+    computes — the x-only forward (feature extraction, bench_student_fwd)
+    DCEs all but the last head; the train step needs all of them (None =
+    all encoder_layers)."""
     s_fl, s_frames = _conv_stack_flops(d.conv_feature_layers, t_wav, b)
     t_enc = s_frames // d.tr_reduce_factor if d.enable_tr_layer else s_frames
     s_fl += _encoder_flops(
@@ -128,7 +133,8 @@ def _student_fwd_flops(d, b, t_wav):
         f = d.tr_reduce_factor
         s_fl += 2 * 2 * b * t_enc * f * d.encoder_embed_dim * d.encoder_embed_dim
     if d.layerwise_proj:  # per-layer upsample + Linear d_model -> final_dim
-        s_fl += d.encoder_layers * (
+        n_heads = d.encoder_layers if live_heads is None else live_heads
+        s_fl += n_heads * (
             2 * b * t_enc * d.tr_reduce_factor
             * d.encoder_embed_dim * d.encoder_embed_dim
             + 2 * b * s_frames * d.encoder_embed_dim * d.pred_head_final_dim
@@ -201,8 +207,10 @@ def bench_student_fwd(platform, quick, sync):
     dt = time.perf_counter() - t0
     return {
         "value": (b * wav_sec * iters) / dt,
-        # per audio-second FLOPs of this forward, for the physical-bound check
-        "flops_per_audio_sec": _student_fwd_flops(cfg, b, t_wav) / (b * wav_sec),
+        # per audio-second FLOPs of this forward, for the physical-bound
+        # check (x-only: all but the last projection head are DCE'd)
+        "flops_per_audio_sec": _student_fwd_flops(cfg, b, t_wav, live_heads=1)
+        / (b * wav_sec),
     }
 
 
