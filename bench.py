@@ -61,13 +61,15 @@ def _make_sync():
     """(sync, fetch_ok): an honest per-call barrier + the fetch-path health.
 
     Probes the device->host fetch path fresh (the tunnel can wedge mid-run);
-    when healthy, sync = block_until_ready + one-scalar fetch. When NOT
-    healthy, sync still block_until_ready's so the run completes, but the
-    caller MUST mark its numbers untrusted — that is the exact silent
-    degradation that produced the impossible BENCH_r02 headline."""
+    when healthy, sync = block_until_ready + a WATCHDOGGED one-scalar fetch
+    (the tunnel can wedge BETWEEN the probe and a timing loop's final sync —
+    a raw fetch there would hang bench forever). Any sync that degrades
+    flips sync.degraded, and callers MUST mark such numbers untrusted —
+    silent degradation to block_until_ready is the exact failure that
+    produced the impossible BENCH_r02 headline."""
     import jax
 
-    from fithubert_tpu.utils.barrier import fetch_barrier, probe_fetch
+    from fithubert_tpu.utils.barrier import probe_fetch, timed_fetch_barrier
 
     fetch_ok = probe_fetch(timeout=60.0)
     if not fetch_ok:  # tunnel wedges are often transient; one retry
@@ -75,11 +77,13 @@ def _make_sync():
         fetch_ok = probe_fetch(timeout=60.0)
 
     def sync(x):
-        if fetch_ok:
-            fetch_barrier(x)
+        if fetch_ok and not sync.degraded:
+            if not timed_fetch_barrier(x, timeout=120.0):
+                sync.degraded = True
         else:
             jax.block_until_ready(x)
 
+    sync.degraded = False
     return sync, fetch_ok
 
 
@@ -390,17 +394,25 @@ def main():
     # --- student forward (printed first; the train line is the headline) ---
     sync, fetch_ok = _make_sync()
     fwd = bench_student_fwd(platform, quick, sync)
-    fwd_line = fwd_line_from(fwd, fetch_ok)
+    fwd_line = fwd_line_from(fwd, fetch_ok and not sync.degraded)
+    if sync.degraded:
+        fwd_line["untrusted_reason"] = (
+            "fetch barrier wedged mid-run; later syncs degraded to "
+            "block_until_ready"
+        )
 
     # --- KD train step: the headline (last line; driver parses the last) ---
     sync, fetch_ok = _make_sync()  # re-probe: the fetch path can die mid-run
     train_line = bench_train_step(platform, quick, sync)
+    fetch_ok = fetch_ok and not sync.degraded
     train_line["fetch_ok"] = fetch_ok
     train_line["untrusted"] = not fetch_ok
     if not fetch_ok:
-        train_line["untrusted_reason"] = fwd_line.get(
-            "untrusted_reason",
-            "device->host fetch probe failed",
+        train_line["untrusted_reason"] = (
+            "fetch barrier wedged mid-run; timing degraded to "
+            "block_until_ready" if sync.degraded else fwd_line.get(
+                "untrusted_reason", "device->host fetch probe failed",
+            )
         )
 
     if not fwd_line["fetch_ok"] and fetch_ok:
@@ -409,7 +421,7 @@ def main():
         # than shipping an untrusted line (compiles are cached, so this is
         # cheap)
         fwd = bench_student_fwd(platform, quick, sync)
-        fwd_line = fwd_line_from(fwd, True)
+        fwd_line = fwd_line_from(fwd, not sync.degraded)
 
     # cross-checks: physical peak bound + train-step-implied bound (at equal
     # hardware efficiency, fwd rate = train rate x FLOPs ratio per

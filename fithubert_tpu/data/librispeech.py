@@ -63,14 +63,18 @@ def scan_split(libri_root: str, split: str) -> List[Tuple[str, int]]:
             if not fn.endswith((".flac", ".wav")):
                 continue
             full = os.path.join(dirpath, fn)
-            n = flac_num_samples(full) if fn.endswith(".flac") else len(audio.decode(full))
+            try:
+                n = (flac_num_samples(full) if fn.endswith(".flac")
+                     else len(audio.decode(full)))
+            except (RuntimeError, OSError, ValueError):
+                n = -1  # corrupt header/file: try the fallback decode below
             if n <= 0 and fn.endswith(".flac"):
                 # header read failed (non-native-FLAC container, or a
                 # STREAMINFO with unknown total_samples == 0): fall back to a
                 # full decode rather than silently dropping the utterance
                 try:
                     n = len(audio.decode(full))
-                except (RuntimeError, OSError):
+                except (RuntimeError, OSError, ValueError):
                     n = -1
             if n > 0:
                 rows.append((os.path.relpath(full, libri_root), n))

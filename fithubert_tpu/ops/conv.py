@@ -12,6 +12,7 @@ tile conv-as-matmul onto the MXU without transposes. Parity targets:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -281,9 +282,6 @@ class ConvFeatureExtractor(nn.Module):
         return x
 
 
-import functools
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def grouped_conv_same(x, kernel, pad, groups):
     """Grouped stride-1 conv (the pos-conv shape class: k=128, g=16) whose
@@ -417,10 +415,9 @@ class MultiLayerPositionalConv(nn.Module):
         return x
 
 
-from functools import partial
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def grad_multiply(x, scale: float):
     return x
 

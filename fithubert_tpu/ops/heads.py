@@ -135,6 +135,18 @@ class LayerWiseProjHeadParams(nn.Module):
         return up, lin
 
 
+def _dot_operands(a, b, dtype):
+    """Operands for a batched dot in compute dtype. The CPU thunk runtime
+    cannot execute batched bf16 x bf16 dots (see SplitLinear), so off-TPU
+    the inputs are ROUNDED to the compute dtype first (matching TPU's input
+    quantization exactly) and the dot itself runs in f32."""
+    a = a.astype(dtype)
+    b = b.astype(dtype)
+    if jax.default_backend() == "cpu" and jnp.dtype(dtype) != jnp.float32:
+        return a.astype(jnp.float32), b.astype(jnp.float32)
+    return a, b
+
+
 def batched_layerwise_proj(hiddens, head_params, dtype):
     """All L projection heads as two batched einsums.
 
@@ -155,13 +167,8 @@ def batched_layerwise_proj(hiddens, head_params, dtype):
         wk = jnp.stack([up[0] for (up, _) in head_params], axis=0)  # (L,K,O,C)
         wb = jnp.stack([up[1] for (up, _) in head_params], axis=0)  # (L,O)
         k = wk.shape[1]
-        in_dtype = (
-            jnp.float32
-            if jax.default_backend() == "cpu" and jnp.dtype(dtype) != jnp.float32
-            else dtype
-        )
         y = jnp.einsum(
-            "lbtc,lkoc->lbtko", h.astype(in_dtype), wk.astype(in_dtype),
+            "lbtc,lkoc->lbtko", *_dot_operands(h, wk, dtype),
             preferred_element_type=jnp.float32,
         )
         y = y.reshape(l, b, t * k, wk.shape[2]) + wb[:, None, None, :]
@@ -171,13 +178,8 @@ def batched_layerwise_proj(hiddens, head_params, dtype):
     if lin0 is not None:
         dk = jnp.stack([lin[0] for (_, lin) in head_params], axis=0)  # (L,I,O)
         db = jnp.stack([lin[1] for (_, lin) in head_params], axis=0)  # (L,O)
-        in_dtype = (
-            jnp.float32
-            if jax.default_backend() == "cpu" and jnp.dtype(dtype) != jnp.float32
-            else dtype
-        )
         out = jnp.einsum(
-            "lbti,lio->blto", y.astype(in_dtype), dk.astype(in_dtype)
+            "lbti,lio->blto", *_dot_operands(y, dk, dtype)
         ).astype(dtype)
         out = out + db.astype(dtype)[None, :, None, :]
     else:

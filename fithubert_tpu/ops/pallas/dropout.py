@@ -33,10 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 # Rows per grid block of the flattened (rows, lanes) view. At the largest
-# lane dim this model produces (attention probs, N = T up to ~1792) a 512-row
-# block costs ~3.6 MB of int32 random bits + ~2 MB of x/out + fp32
-# intermediates — inside the 16 MB VMEM budget with margin.
+# lane dim this model produces in the release configs (attention probs,
+# N = T up to ~1792) a 512-row block costs ~3.6 MB of int32 random bits +
+# ~2 MB of x/out + fp32 intermediates — inside the 16 MB VMEM budget with
+# margin. For wider rows (flash_attention's XLA path accepts any shape
+# whose logits fit HBM) the block shrinks to stay under budget.
 _BLOCK_ROWS = 512
+_VMEM_BUDGET_BYTES = 12_000_000
+
+
+def _pick_block_rows(n: int, itemsize: int) -> int:
+    """Largest multiple-of-8 row count <= _BLOCK_ROWS whose per-block VMEM
+    (int32 random bits + fp32 scaled intermediate + in/out at itemsize)
+    fits the budget."""
+    per_row = n * (4 + 4 + 2 * itemsize)
+    rows = min(_BLOCK_ROWS, max(8, (_VMEM_BUDGET_BYTES // per_row) // 8 * 8))
+    return rows
 
 
 def _make_kernel(dropout_p: float):
@@ -60,7 +72,7 @@ def _run(x2d, seed, dropout_p: float, interpret: bool):
     # stores on the last block, and fwd/bwd share the same grid + per-block
     # seeds, so regeneration stays exact for any M (the fithubert step
     # produces M = B*H*T_q = 43200, divisible by none of the pow-2 blocks)
-    bm = _BLOCK_ROWS if m > _BLOCK_ROWS else m
+    bm = min(m, _pick_block_rows(n, x2d.dtype.itemsize))
     grid = (pl.cdiv(m, bm),)
     return pl.pallas_call(
         _make_kernel(dropout_p),

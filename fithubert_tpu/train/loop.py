@@ -168,12 +168,14 @@ def run_training(
 
     if teacher_params is None:
         teacher_params = distiller.init_teacher_params(rng, sample_wav)
-    teacher_params = distiller.shard_teacher(teacher_params)
 
     state = distiller.init_state(jax.random.fold_in(rng, 1), sample_wav)
     if cfg.distiller.init_conv_layers or cfg.distiller.init_encoder_layers > 0:
         from fithubert_tpu.models.surgery import init_student_from_teacher
 
+        # hint-init BEFORE shard_teacher: the student's fp32 masters must
+        # graft the teacher's full-precision weights, not the bf16-rounded
+        # copies prepare_teacher_params stores for the frozen forward
         state = state.replace(
             params=init_student_from_teacher(
                 jax.device_get(state.params),
@@ -181,6 +183,7 @@ def run_training(
                 cfg.distiller,
             )
         )
+    teacher_params = distiller.shard_teacher(teacher_params)
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"), cfg.train.save_top_k)
     start_epoch = 0
     if resume and ckpt.latest_step() is not None:

@@ -63,19 +63,6 @@ def probe_fetch(timeout: float = 60.0) -> bool:
     Run before (and between) timed sections: the tunnel's fetch path can
     wedge for extended periods while compute continues, and a wedged fetch
     would otherwise hang the caller forever."""
-    import jax
     import jax.numpy as jnp
 
-    done = []
-
-    def run():
-        try:
-            np.asarray(jax.device_get(jnp.zeros((1,))))
-            done.append(True)
-        except Exception:
-            pass
-
-    th = threading.Thread(target=run, daemon=True)
-    th.start()
-    th.join(timeout=timeout)
-    return bool(done)
+    return timed_fetch_barrier(jnp.zeros((1,)), timeout=timeout)

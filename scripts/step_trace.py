@@ -64,8 +64,10 @@ def capture(args) -> None:
                           teacher_geometry=teacher_geom)
     rng = jax.random.PRNGKey(0)
     sample_wav = jnp.zeros((b, t_wav), jnp.float32)
-    teacher_params = _zeros_like_shapes(
-        jax.eval_shape(distiller.init_teacher_params, rng, sample_wav))
+    # prepare_teacher_params matches production: bf16-stored teacher matmul
+    # weights (bench.py and run_training both trace THIS step shape)
+    teacher_params = distiller.prepare_teacher_params(_zeros_like_shapes(
+        jax.eval_shape(distiller.init_teacher_params, rng, sample_wav)))
     state = _zeros_like_shapes(
         jax.eval_shape(distiller.init_state, rng, sample_wav))
 

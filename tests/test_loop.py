@@ -128,3 +128,36 @@ def test_launch_groups_chunking():
     # k=1 degenerates to singletons
     assert [[r["_tag"] for r, _d in run] for run in _launch_groups(pairs, 1)] \
         == [[0], [1], [2], [3], [4], [5]]
+
+
+@pytest.mark.slow
+def test_hint_init_sees_full_precision_teacher(tmp_path, monkeypatch):
+    """init_student_from_teacher must graft from the teacher's fp32 weights,
+    not the bf16 copies prepare_teacher_params stores for the frozen
+    forward (regression: shard_teacher used to run first)."""
+    import jax
+
+    import fithubert_tpu.models.surgery as surgery
+    from fithubert_tpu.train.loop import run_training
+
+    real = surgery.init_student_from_teacher
+    seen = {}
+
+    def spy(student_params, teacher_params, dcfg):
+        seen["dtypes"] = {
+            str(leaf.dtype) for leaf in jax.tree.leaves(teacher_params)
+        }
+        return real(student_params, teacher_params, dcfg)
+
+    monkeypatch.setattr(surgery, "init_student_from_teacher", spy)
+    cfg = _smoke_cfg(tmp_path / "out", max_steps=1, num_epochs=1)
+    cfg = dataclasses.replace(
+        cfg,
+        distiller=dataclasses.replace(cfg.distiller, init_conv_layers=True),
+        train=dataclasses.replace(cfg.train, use_fp16=True),
+    )
+    run_training(cfg, resume=False)
+    assert seen, "hint-init was never invoked"
+    assert "bfloat16" not in seen["dtypes"], (
+        "teacher params were bf16-quantized before the student hint-init"
+    )
