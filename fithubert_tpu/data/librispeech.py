@@ -43,6 +43,8 @@ def flac_num_samples(path: str) -> int:
             last = hdr[0] & 0x80
             length = (hdr[1] << 16) | (hdr[2] << 8) | hdr[3]
             body = f.read(length)
+            if len(body) < length:
+                return -1  # truncated metadata block: not a valid flac
             if block_type == 0 and length >= 34:
                 return ((body[13] & 0x0F) << 32) | (body[14] << 24) | \
                        (body[15] << 16) | (body[16] << 8) | body[17]
@@ -66,15 +68,15 @@ def scan_split(libri_root: str, split: str) -> List[Tuple[str, int]]:
             try:
                 n = (flac_num_samples(full) if fn.endswith(".flac")
                      else len(audio.decode(full)))
-            except (RuntimeError, OSError, ValueError):
-                n = -1  # corrupt header/file: try the fallback decode below
+            except Exception:  # corrupt header/file (struct.error, OSError,
+                n = -1         # ...): try the fallback decode below
             if n <= 0 and fn.endswith(".flac"):
                 # header read failed (non-native-FLAC container, or a
                 # STREAMINFO with unknown total_samples == 0): fall back to a
                 # full decode rather than silently dropping the utterance
                 try:
                     n = len(audio.decode(full))
-                except (RuntimeError, OSError, ValueError):
+                except Exception:
                     n = -1
             if n > 0:
                 rows.append((os.path.relpath(full, libri_root), n))

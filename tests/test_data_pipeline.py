@@ -233,3 +233,27 @@ def test_trailing_accum_group_step_is_finite(corpus):
                        jnp.zeros((1,), jnp.int32), rng)
     assert np.isfinite(float(logs["loss"]))
     assert np.isfinite(float(logs["grad_norm"]))
+
+
+def test_scan_split_skips_corrupt_files(tmp_path):
+    """A truncated/garbage audio file must be skipped with a warning, not
+    abort the whole corpus scan (bucket-CSV generation)."""
+    import numpy as np
+
+    from fithubert_tpu.data.librispeech import scan_split
+    from tests.flac_writer import write_flac
+
+    chap = tmp_path / "train-clean-100" / "1" / "2"
+    chap.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    good = np.round(1000 * rng.standard_normal(4000)).astype(np.int64)
+    write_flac(str(chap / "1-2-0000.flac"), [good], kind="verbatim")
+    # garbage bytes with a flac extension (header parse raises/ fails)
+    (chap / "1-2-0001.flac").write_bytes(b"fLaC" + b"\x00\x07" * 40)
+    (chap / "1-2-0002.flac").write_bytes(b"not flac at all")
+    # truncated wav
+    (chap / "1-2-0003.wav").write_bytes(b"RIFF\x00\x00")
+
+    rows = scan_split(str(tmp_path), "train-clean-100")
+    assert [os.path.basename(p) for p, _ in rows] == ["1-2-0000.flac"]
+    assert rows[0][1] == 4000
