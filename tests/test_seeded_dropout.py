@@ -119,3 +119,25 @@ class TestKernelOnTPU:
             np.asarray(x, np.float32)[kept] / 0.9,
             rtol=2e-2,
         )
+
+
+def test_block_rows_respect_vmem_budget():
+    """Row blocks shrink with the lane count so bits+intermediates+in/out
+    stay under the scoped-VMEM budget at any width flash_attention's XLA
+    path can produce."""
+    from fithubert_tpu.ops.pallas.dropout import (
+        _BLOCK_ROWS, _VMEM_BUDGET_BYTES, _pick_block_rows,
+    )
+
+    for n in (256, 480, 1792, 4096, 8192, 16384):
+        for itemsize in (2, 4):
+            rows = _pick_block_rows(n, itemsize)
+            assert rows % 8 == 0 or rows == 8
+            assert rows <= _BLOCK_ROWS
+            per_block = rows * n * (4 + 4 + 2 * itemsize)
+            assert per_block <= max(
+                _VMEM_BUDGET_BYTES,
+                8 * n * (4 + 4 + 2 * itemsize),  # floor: 8 rows minimum
+            )
+    # the release attention shape keeps its measured 512-row block
+    assert _pick_block_rows(1792, 2) == 512
