@@ -322,3 +322,67 @@ def test_batched_layerwise_proj_equals_per_head_modules():
             np.asarray(out1[i]), np.asarray(out2[:, i]), rtol=0, atol=2e-6,
             err_msg=f"head {i}",
         )
+
+
+def test_batched_layerwise_proj_grads_match_per_head():
+    """Gradients through the batched einsum path match the per-head modules
+    (params AND hiddens) — the train step differentiates through this."""
+    from flax import linen as nn_f
+
+    from fithubert_tpu.ops.heads import (
+        LayerWiseProjHead,
+        LayerWiseProjHeadParams,
+        batched_layerwise_proj,
+    )
+
+    L, B, T, C, D = 3, 2, 6, 8, 12
+    key = jax.random.PRNGKey(42)
+    hs = [jax.random.normal(jax.random.PRNGKey(i + 7), (B, T, C)) for i in range(L)]
+    tgt = jax.random.normal(jax.random.PRNGKey(99), (B, L, 2 * T, D))
+
+    class PerHead(nn_f.Module):
+        @nn_f.compact
+        def __call__(self, hs):
+            outs = [
+                LayerWiseProjHead(
+                    in_dim=C, out_dim=D, enable_tr_layer=True,
+                    tr_reduce_factor=2, name=f"proj_head_{i}",
+                )(hs[i])
+                for i in range(L)
+            ]
+            return jnp.stack(outs, axis=1)
+
+    class Batched(nn_f.Module):
+        @nn_f.compact
+        def __call__(self, hs):
+            hp = [
+                LayerWiseProjHeadParams(
+                    in_dim=C, out_dim=D, enable_tr_layer=True,
+                    tr_reduce_factor=2, name=f"proj_head_{i}",
+                )()
+                for i in range(L)
+            ]
+            return batched_layerwise_proj(hs, hp, jnp.float32)
+
+    params = PerHead().init(key, hs)
+
+    def loss_per(p, hs):
+        return jnp.sum((PerHead().apply(p, hs) - tgt) ** 2)
+
+    def loss_bat(p, hs):
+        return jnp.sum((Batched().apply(p, hs) - tgt) ** 2)
+
+    g1p, g1h = jax.grad(loss_per, argnums=(0, 1))(params, hs)
+    g2p, g2h = jax.grad(loss_bat, argnums=(0, 1))(params, hs)
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g1p)[0],
+        jax.tree_util.tree_flatten_with_path(g2p)[0],
+    ):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=str(k1)
+        )
+    for a, b in zip(g1h, g2h):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
