@@ -163,6 +163,10 @@ class StudentConfig:
     # which dominates CPU tests and debugging loops).
     scan_layers: Optional[bool] = None
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # int8 MXU matmuls (ops/quant.py) in the encoder layers' qkvo/fc1/fc2.
+    # For INFERENCE/serving only — training through round() has zero gradient
+    # (Distiller rejects it). The teacher's variant is teacher.quantize_int8.
+    quantize_matmuls: bool = False
 
     @property
     def embed(self) -> int:
@@ -352,6 +356,11 @@ class TeacherConfig:
     encoder_ffn_embed_dim: int = 3072
     encoder_attention_heads: int = 12
     vocab_size: int = 32  # CTC head dim for wav2vec_ctc
+    # Run the frozen teacher's encoder matmuls as dynamic-int8 MXU ops
+    # (ops/quant.py): 2x the bf16 MXU rate on v5e, exact training gradients
+    # (the teacher is under stop_gradient), bounded quantization error on the
+    # distillation targets (opt-in; tests/test_quant.py pins the bound).
+    quantize_int8: bool = False
 
 
 @dataclass(frozen=True)

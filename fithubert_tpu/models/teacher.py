@@ -62,6 +62,10 @@ class TeacherGeometry:
     use_pallas_attention: bool = True
     use_pallas_conv: bool = True
     compute_dtype: str = "float32"
+    # int8 MXU encoder matmuls (ops/quant.py). Safe on a frozen teacher:
+    # gradients never flow through it (stop_gradient in train/step.py), so
+    # only the distillation targets carry the (bounded) quantization error.
+    quantize_int8: bool = False
 
     @classmethod
     def from_teacher_config(cls, tc: TeacherConfig) -> "TeacherGeometry":
@@ -72,6 +76,7 @@ class TeacherGeometry:
             encoder_ffn_embed_dim=tc.encoder_ffn_embed_dim,
             encoder_attention_heads=tc.encoder_attention_heads,
             vocab_size=tc.vocab_size if tc.model_type == "wav2vec_ctc" else 0,
+            quantize_int8=tc.quantize_int8,
         )
 
     def to_student_config(self) -> StudentConfig:
@@ -104,6 +109,7 @@ class TeacherGeometry:
             use_pallas_attention=self.use_pallas_attention,
             use_pallas_conv=self.use_pallas_conv,
             compute_dtype=self.compute_dtype,
+            quantize_matmuls=self.quantize_int8,
         )
 
 
@@ -162,7 +168,12 @@ class TeacherModel(nn.Module):
 
         embed = g.conv_feature_layers[-1][0]
         if embed != g.encoder_embed_dim:
-            features = nn.Dense(
+            from fithubert_tpu.ops.quant import dense_cls
+
+            # ctc_proj (below) deliberately stays full precision: its argmax
+            # seeds CTC pseudo-labels, where a rounding-flipped token is a
+            # label error rather than a small regression-target perturbation.
+            features = dense_cls(g.quantize_int8)(
                 g.encoder_embed_dim, dtype=dtype, param_dtype=jnp.float32,
                 name="post_extract_proj",
             )(features)

@@ -39,6 +39,7 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    quantize: bool = False  # int8 qkvo matmuls (ops/quant.py; frozen/serving)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -55,7 +56,9 @@ class MultiHeadSelfAttention(nn.Module):
         scaling = head_dim**-0.5
         dtype = self.dtype or x.dtype
 
-        dense = lambda name: nn.Dense(
+        from fithubert_tpu.ops.quant import dense_cls
+
+        dense = lambda name: dense_cls(self.quantize)(
             self.embed_dim,
             kernel_init=bert_init,
             dtype=dtype,

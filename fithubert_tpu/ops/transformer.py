@@ -65,6 +65,7 @@ class TransformerEncoderLayer(nn.Module):
     activation_fn: str = "gelu"
     layer_norm_first: bool = False
     use_pallas: bool = False
+    quantize: bool = False  # int8 qkvo/fc matmuls (ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -75,21 +76,25 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
         need_taps: bool = False,
     ):
+        from fithubert_tpu.ops.quant import dense_cls
+
         act = ACTIVATIONS[self.activation_fn]
         attn = MultiHeadSelfAttention(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
             dropout=self.attention_dropout,
             use_pallas=self.use_pallas,
+            quantize=self.quantize,
             dtype=self.dtype,
             name="self_attn",
         )
         ln_attn = FP32LayerNorm(name="self_attn_layer_norm")
         ln_final = FP32LayerNorm(name="final_layer_norm")
-        fc1 = nn.Dense(self.ffn_dim, kernel_init=bert_init, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="fc1")
-        fc2 = nn.Dense(self.embed_dim, kernel_init=bert_init, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="fc2")
+        fc = dense_cls(self.quantize)
+        fc1 = fc(self.ffn_dim, kernel_init=bert_init, dtype=self.dtype,
+                 param_dtype=jnp.float32, name="fc1")
+        fc2 = fc(self.embed_dim, kernel_init=bert_init, dtype=self.dtype,
+                 param_dtype=jnp.float32, name="fc2")
         drop1 = nn.Dropout(self.dropout)
         drop2 = nn.Dropout(self.activation_dropout)
         drop3 = nn.Dropout(self.dropout)
@@ -201,6 +206,7 @@ def _transformer_layer_kwargs(cfg: StudentConfig, dtype):
         activation_fn=cfg.activation_fn,
         layer_norm_first=cfg.layer_norm_first,
         use_pallas=cfg.use_pallas_attention,
+        quantize=cfg.quantize_matmuls,
         dtype=dtype,
     )
 

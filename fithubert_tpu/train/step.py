@@ -57,6 +57,14 @@ class Distiller:
         teacher_geometry: Optional[TeacherGeometry] = None,
     ):
         self.cfg = cfg
+        if cfg.distiller.quantize_matmuls:
+            raise ValueError(
+                "distiller.quantize_matmuls is inference/serving-only: round()"
+                " has zero gradient almost everywhere, so training through"
+                " int8 matmuls silently stops learning. To quantize the"
+                " FROZEN teacher (exact student gradients) set"
+                " teacher.quantize_int8 instead."
+            )
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.num_devices)
         geom = teacher_geometry or TeacherGeometry.from_teacher_config(cfg.teacher)
         if cfg.train.use_fp16:
