@@ -36,6 +36,7 @@ class UpstreamExpert:
         ckpt: str,
         model_config: str,
         length_quantum: int = 16000,
+        int8: bool = False,  # serve with dynamic-int8 MXU matmuls (ops/quant.py)
         **kwargs,  # s3prl passes hub kwargs (e.g. refresh) through hubconf
     ):
         import jax
@@ -60,7 +61,10 @@ class UpstreamExpert:
         self.cfg: ExperimentConfig = dataclasses.replace(
             cfg,
             distiller=dataclasses.replace(
-                cfg.distiller, init_conv_layers=False, init_encoder_layers=0
+                cfg.distiller,
+                init_conv_layers=False,
+                init_encoder_layers=0,
+                quantize_matmuls=bool(int8) or cfg.distiller.quantize_matmuls,
             ),
         )
         self.model = StudentModel(cfg=self.cfg.distiller, disable_projections=True)

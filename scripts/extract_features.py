@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--layer", type=int, default=-1,
                     help="hidden_states index to dump (-1 = last_hidden_state)")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve with dynamic-int8 MXU matmuls (2x bf16 peak "
+                         "on v5e; bounded rounding error — ops/quant.py)")
     ap.add_argument("--platform", default=os.environ.get("FITHUBERT_PLATFORM"))
     args = ap.parse_args()
 
@@ -51,7 +54,7 @@ def main():
     from fithubert_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache(probe_backend=True)
-    expert = UpstreamExpert(args.ckpt, args.config)
+    expert = UpstreamExpert(args.ckpt, args.config, int8=args.int8)
     os.makedirs(args.out, exist_ok=True)
 
     # unique output names: same-basename inputs from different directories

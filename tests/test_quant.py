@@ -139,6 +139,58 @@ def test_train_step_with_quantized_teacher():
     assert np.isfinite(gnorm) and gnorm > 0.0
 
 
+def test_quantized_teacher_under_bf16_compute():
+    """Training runs the teacher in bf16 (use_fp16); the quantization math
+    must stay fp32-stable on top of bf16 kernels/activations."""
+    geom = dataclasses.replace(
+        tiny_teacher_geometry(), compute_dtype="bfloat16"
+    )
+    qgeom = dataclasses.replace(geom, quantize_int8=True)
+    wav = jax.random.normal(jax.random.PRNGKey(2), (2, 4000)) * 0.1
+    mask = jnp.zeros(wav.shape, dtype=bool)
+    params = TeacherModel(geometry=geom).init(jax.random.PRNGKey(0), wav, mask)
+    out = TeacherModel(geometry=geom).apply(params, wav, mask)
+    qout = TeacherModel(geometry=qgeom).apply(params, wav, mask)
+    a = out.x.reshape(-1).astype(jnp.float32)
+    b = qout.x.reshape(-1).astype(jnp.float32)
+    cos = float(jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+    assert cos > 0.99, cos
+
+
+def test_int8_upstream_expert(tmp_path):
+    """UpstreamExpert(int8=True): the serving path runs quantized and stays
+    close to the fp expert on the same export pair."""
+    from tests.test_export import STUDENT_CFG
+
+    from fithubert_tpu.config import ExperimentConfig
+    from fithubert_tpu.export.expert import UpstreamExpert
+    from fithubert_tpu.models import StudentModel
+    from fithubert_tpu.train.checkpoint import export_student
+
+    cfg = ExperimentConfig(distiller=STUDENT_CFG)
+    model = StudentModel(cfg=cfg.distiller)
+    wav = jnp.zeros((1, 4000))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, wav, jnp.zeros((1, 4000), bool)
+    )["params"]
+    yaml_path, weights_path = export_student(
+        cfg, params, str(tmp_path), tag="student"
+    )
+
+    wavs = [np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (3000,)) * 0.1, np.float32
+    )]
+    ref = UpstreamExpert(weights_path, yaml_path, length_quantum=2000)(wavs)
+    q = UpstreamExpert(
+        weights_path, yaml_path, length_quantum=2000, int8=True
+    )(wavs)
+    a = np.asarray(ref["last_hidden_state"], np.float32).reshape(-1)
+    b = np.asarray(q["last_hidden_state"], np.float32).reshape(-1)
+    cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9))
+    assert cos > 0.99, cos
+    assert not np.allclose(a, b)  # the int8 path must actually engage
+
+
 def test_student_quantize_matmuls_rejected_for_training():
     from fithubert_tpu.train.step import Distiller
 
