@@ -191,6 +191,46 @@ def test_int8_upstream_expert(tmp_path):
     assert not np.allclose(a, b)  # the int8 path must actually engage
 
 
+def test_quantized_teacher_under_tp_mesh_matches_single_device():
+    """int8 teacher under a ('data' 4 x 'model' 2) mesh: the per-channel
+    weight-scale reductions run over SHARDED kernel axes (row-parallel fc2
+    reduces across 'model' shards) — the sharded loss must equal the
+    single-device quantized loss."""
+    from fithubert_tpu.parallel import make_mesh
+    from fithubert_tpu.train.step import Distiller
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tests.test_train_step import make_batch
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, teacher=dataclasses.replace(cfg.teacher, quantize_int8=True)
+    )
+    geom = dataclasses.replace(tiny_teacher_geometry(), quantize_int8=True)
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng, b=4)
+    rand = jnp.zeros((1,), jnp.int32)
+
+    d1 = Distiller(cfg, mesh=make_mesh(1), num_training_steps=100,
+                   teacher_geometry=geom)
+    tp1 = d1.prepare_teacher_params(d1.init_teacher_params(rng, batch["x"][0]))
+    st1 = d1.init_state(jax.random.PRNGKey(1), batch["x"][0])
+    _, logs1 = d1.make_train_step()(st1, tp1, batch, rand, rng)
+
+    mesh = make_mesh(model_axis=2)
+    dM = Distiller(cfg, mesh=mesh, num_training_steps=100,
+                   teacher_geometry=geom)
+    tpM = dM.shard_teacher(dM.init_teacher_params(rng, batch["x"][0]))
+    stM = dM.shard_state(dM.init_state(jax.random.PRNGKey(1), batch["x"][0]))
+    sh = NamedSharding(mesh, P(None, "data"))
+    batchM = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    _, logsM = dM.make_train_step()(stM, tpM, batchM, rand, rng)
+
+    np.testing.assert_allclose(
+        float(logs1["loss"]), float(logsM["loss"]), rtol=2e-5
+    )
+
+
 def test_student_quantize_matmuls_rejected_for_training():
     from fithubert_tpu.train.step import Distiller
 
