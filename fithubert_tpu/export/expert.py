@@ -36,7 +36,13 @@ class UpstreamExpert:
         ckpt: str,
         model_config: str,
         length_quantum: int = 16000,
-        int8: bool = False,  # serve with dynamic-int8 MXU matmuls (ops/quant.py)
+        # serve with dynamic-int8 MXU matmuls (ops/quant.py). The weights are
+        # re-quantized inside each jitted forward (params are jit ARGUMENTS,
+        # so XLA cannot fold the per-channel amax/round) — one elementwise
+        # pass over ~22M weights, <1% of a batched forward; accepting that
+        # keeps the param tree identical to fp serving (no (w_q, scale)
+        # checkpoint surgery, importers untouched).
+        int8: bool = False,
         **kwargs,  # s3prl passes hub kwargs (e.g. refresh) through hubconf
     ):
         import jax

@@ -53,22 +53,26 @@ class RelPositionAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    quantize: bool = False  # int8 projection matmuls (ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None, deterministic=True,
                  need_taps=False):
+        from fithubert_tpu.ops.quant import dense_cls
+
         b, t, c = x.shape
         h = self.num_heads
         dk = self.embed_dim // h
         dtype = self.dtype or x.dtype
-        dense = lambda name: nn.Dense(self.embed_dim, dtype=dtype,
-                                      param_dtype=jnp.float32, name=name)
+        dense = lambda name: dense_cls(self.quantize)(
+            self.embed_dim, dtype=dtype, param_dtype=jnp.float32, name=name
+        )
         q = dense("q_proj")(x).reshape(b, t, h, dk)
         k = dense("k_proj")(x).reshape(b, t, h, dk)
         v = dense("v_proj")(x).reshape(b, t, h, dk)
         # espnet RelPositionMultiHeadedAttention.linear_pos is bias-free
-        p = nn.Dense(
+        p = dense_cls(self.quantize)(
             self.embed_dim, dtype=dtype, param_dtype=jnp.float32,
             use_bias=False, name="linear_pos",
         )(pos_emb).reshape(1, -1, h, dk)  # (1, 2T-1, H, dk)
@@ -134,17 +138,21 @@ class RotaryAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    quantize: bool = False  # int8 projection matmuls (ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True,
                  need_taps=False):
+        from fithubert_tpu.ops.quant import dense_cls
+
         b, t, c = x.shape
         h = self.num_heads
         dk = self.embed_dim // h
         dtype = self.dtype or x.dtype
-        dense = lambda name: nn.Dense(self.embed_dim, dtype=dtype,
-                                      param_dtype=jnp.float32, name=name)
+        dense = lambda name: dense_cls(self.quantize)(
+            self.embed_dim, dtype=dtype, param_dtype=jnp.float32, name=name
+        )
         x_rot = apply_rotary(x.reshape(b, t, h, dk)).reshape(b, t, c)
         q = dense("q_proj")(x_rot).reshape(b, t, h, dk)
         k = dense("k_proj")(x_rot).reshape(b, t, h, dk)
@@ -178,17 +186,21 @@ class FeedForwardModule(nn.Module):
     embed_dim: int
     ffn_dim: int
     dropout: float
+    quantize: bool = False  # int8 w_1/w_2 matmuls (ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic=True):
+        from fithubert_tpu.ops.quant import dense_cls
+
+        fc = dense_cls(self.quantize)
         x = FP32LayerNorm(name="layer_norm")(x)
-        x = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="w_1")(x)
+        x = fc(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32,
+               name="w_1")(x)
         x = jax.nn.silu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="w_2")(x)
+        x = fc(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+               name="w_2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
@@ -289,6 +301,7 @@ class ConformerEncoderLayer(nn.Module):
     depthwise_conv_kernel_size: int = 31
     pos_enc_type: str = "abs"
     attn_type: str = "espnet"
+    quantize: bool = False  # int8 attention/FFN matmuls (ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -296,7 +309,8 @@ class ConformerEncoderLayer(nn.Module):
                  need_taps=False):
         residual = x
         x = FeedForwardModule(self.embed_dim, self.ffn_dim, self.dropout,
-                              self.dtype, name="ffn1")(x, deterministic)
+                              self.quantize, self.dtype, name="ffn1")(
+            x, deterministic)
         x = x * 0.5 + residual
 
         residual = x
@@ -306,17 +320,18 @@ class ConformerEncoderLayer(nn.Module):
 
             x, taps = MultiHeadSelfAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
-                dropout=self.dropout, dtype=self.dtype, name="self_attn",
+                dropout=self.dropout, quantize=self.quantize,
+                dtype=self.dtype, name="self_attn",
             )(x, padding_mask, deterministic, need_taps)
         elif self.pos_enc_type == "rel_pos":
             x, taps = RelPositionAttention(
-                self.embed_dim, self.num_heads, self.dropout, self.dtype,
-                name="self_attn",
+                self.embed_dim, self.num_heads, self.dropout, self.quantize,
+                self.dtype, name="self_attn",
             )(x, pos_emb, padding_mask, deterministic, need_taps)
         elif self.pos_enc_type == "rope":
             x, taps = RotaryAttention(
-                self.embed_dim, self.num_heads, self.dropout, self.dtype,
-                name="self_attn",
+                self.embed_dim, self.num_heads, self.dropout, self.quantize,
+                self.dtype, name="self_attn",
             )(x, padding_mask, deterministic, need_taps)
         else:
             # espnet 'abs' (ESPNETMultiHeadedAttention) is plain scaled-dot
@@ -325,7 +340,8 @@ class ConformerEncoderLayer(nn.Module):
 
             x, taps = MultiHeadSelfAttention(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
-                dropout=self.dropout, dtype=self.dtype, name="self_attn",
+                dropout=self.dropout, quantize=self.quantize,
+                dtype=self.dtype, name="self_attn",
             )(x, padding_mask, deterministic, need_taps)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = x + residual
@@ -344,7 +360,8 @@ class ConformerEncoderLayer(nn.Module):
 
         residual = x
         x = FeedForwardModule(self.embed_dim, self.ffn_dim, self.dropout,
-                              self.dtype, name="ffn2")(x, deterministic)
+                              self.quantize, self.dtype, name="ffn2")(
+            x, deterministic)
         layer_result = x
         x = x * 0.5 + residual
         x = FP32LayerNorm(name="final_layer_norm")(x)
@@ -396,6 +413,7 @@ class ConformerEncoder(nn.Module):
                 depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
                 pos_enc_type=cfg.pos_enc_type,
                 attn_type=cfg.attn_type,
+                quantize=cfg.quantize_matmuls,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, padding_mask, pos_emb, deterministic, need_taps)

@@ -360,6 +360,7 @@ class TransformerEncoder(nn.Module):
                     depthwise_conv_kernel_size=cfg.depthwise_conv_kernel_size,
                     pos_enc_type="abs",
                     attn_type=cfg.attn_type,
+                    quantize=cfg.quantize_matmuls,
                     dtype=self.dtype,
                     name=f"layers_{layer_idx}",
                 )

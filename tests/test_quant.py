@@ -22,6 +22,15 @@ from fithubert_tpu.ops.quant import QuantDense, int8_matmul
 from tests.test_train_step import tiny_cfg, tiny_teacher_geometry
 
 
+def _cosine(a, b) -> float:
+    a = jnp.asarray(a).reshape(-1).astype(jnp.float32)
+    b = jnp.asarray(b).reshape(-1).astype(jnp.float32)
+    return float(
+        jnp.dot(a, b)
+        / jnp.maximum(jnp.linalg.norm(a) * jnp.linalg.norm(b), 1e-9)
+    )
+
+
 def test_int8_matmul_close_to_fp32():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(4, 37, 256)), jnp.float32)
@@ -95,20 +104,12 @@ def test_quantized_teacher_close_to_fp():
     out = teacher.apply(params, wav, mask)
     qout = qteacher.apply(params, wav, mask)
 
-    def cosine(a, b):
-        a = a.reshape(-1).astype(jnp.float32)
-        b = b.reshape(-1).astype(jnp.float32)
-        return float(
-            jnp.dot(a, b)
-            / jnp.maximum(jnp.linalg.norm(a) * jnp.linalg.norm(b), 1e-9)
-        )
-
-    assert cosine(out.x, qout.x) > 0.99
+    assert _cosine(out.x, qout.x) > 0.99
     for (h, _, _), (qh, _, _) in zip(out.layer_results, qout.layer_results):
-        assert cosine(h, qh) > 0.99
+        assert _cosine(h, qh) > 0.99
     # `features` is the post_extract_proj hook capture (teacher.py), so the
     # quantized projection shifts it too — bounded like the hiddens
-    assert cosine(out.features, qout.features) > 0.99
+    assert _cosine(out.features, qout.features) > 0.99
 
 
 @pytest.mark.slow
@@ -151,10 +152,7 @@ def test_quantized_teacher_under_bf16_compute():
     params = TeacherModel(geometry=geom).init(jax.random.PRNGKey(0), wav, mask)
     out = TeacherModel(geometry=geom).apply(params, wav, mask)
     qout = TeacherModel(geometry=qgeom).apply(params, wav, mask)
-    a = out.x.reshape(-1).astype(jnp.float32)
-    b = qout.x.reshape(-1).astype(jnp.float32)
-    cos = float(jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
-    assert cos > 0.99, cos
+    assert _cosine(out.x, qout.x) > 0.99
 
 
 def test_int8_upstream_expert(tmp_path):
@@ -184,13 +182,13 @@ def test_int8_upstream_expert(tmp_path):
     q = UpstreamExpert(
         weights_path, yaml_path, length_quantum=2000, int8=True
     )(wavs)
-    a = np.asarray(ref["last_hidden_state"], np.float32).reshape(-1)
-    b = np.asarray(q["last_hidden_state"], np.float32).reshape(-1)
-    cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9))
-    assert cos > 0.99, cos
+    a = np.asarray(ref["last_hidden_state"], np.float32)
+    b = np.asarray(q["last_hidden_state"], np.float32)
+    assert _cosine(a, b) > 0.99
     assert not np.allclose(a, b)  # the int8 path must actually engage
 
 
+@pytest.mark.slow  # two full fused-train-step compiles on the 1-core CPU
 def test_quantized_teacher_under_tp_mesh_matches_single_device():
     """int8 teacher under a ('data' 4 x 'model' 2) mesh: the per-channel
     weight-scale reductions run over SHARDED kernel axes (row-parallel fc2
@@ -229,6 +227,41 @@ def test_quantized_teacher_under_tp_mesh_matches_single_device():
     np.testing.assert_allclose(
         float(logs1["loss"]), float(logsM["loss"]), rtol=2e-5
     )
+
+
+@pytest.mark.parametrize("pos_enc_type", ["rel_pos", "rope"])
+def test_conformer_quantize_engages(pos_enc_type):
+    """quantize_matmuls must reach the conformer attention/FFN denses too
+    (espnet rel_pos + rope) — int8 serving of a conformer student is not a
+    silent no-op."""
+    from fithubert_tpu.config import StudentConfig
+    from fithubert_tpu.ops.conformer import ConformerEncoder
+
+    def cfg(q):
+        return StudentConfig(
+            conv_feature_layers=((16, 10, 5),),
+            encoder_layers=1,
+            encoder_embed_dim=32,
+            encoder_ffn_embed_dim=64,
+            encoder_attention_heads=4,
+            layer_type="conformer",
+            pos_enc_type=pos_enc_type,
+            attn_type="espnet",
+            enable_tr_layer=False,
+            dropout=0.0,
+            quantize_matmuls=q,
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    enc = ConformerEncoder(cfg=cfg(False))
+    qenc = ConformerEncoder(cfg=cfg(True))
+    variables = enc.init(jax.random.PRNGKey(1), x)
+    qvariables = qenc.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(variables) == jax.tree.structure(qvariables)
+    out = enc.apply(variables, x, mutable=["batch_stats"])[0]
+    qout = qenc.apply(variables, x, mutable=["batch_stats"])[0]
+    assert _cosine(out.x, qout.x) > 0.98
+    assert not np.allclose(np.asarray(out.x), np.asarray(qout.x))
 
 
 def test_student_quantize_matmuls_rejected_for_training():
