@@ -164,7 +164,7 @@ def _kd_step_flops(cfg, teacher_geom, b, t_wav, accum):
 
 
 # --------------------------------------------------------------- benchmarks
-def bench_student_fwd(platform, quick, sync):
+def bench_student_fwd(platform, quick, sync, int8=False):
     import jax
     import jax.numpy as jnp
 
@@ -173,7 +173,9 @@ def bench_student_fwd(platform, quick, sync):
 
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = load_yaml_config(os.path.join(here, "configs", "fithubert.yaml")).distiller
-    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg, compute_dtype="bfloat16", quantize_matmuls=int8
+    )
     model = StudentModel(cfg=cfg)
 
     if quick:
@@ -400,6 +402,13 @@ def main():
             "fetch barrier wedged mid-run; later syncs degraded to "
             "block_until_ready"
         )
+    if "--int8" in sys.argv and not sync.degraded:
+        # optional: the int8-serving fwd (StudentConfig.quantize_matmuls) —
+        # an extra datum on the fwd line, never the headline (quantized
+        # numerics are opt-in, the parity configuration stays bf16)
+        q = bench_student_fwd(platform, quick, sync, int8=True)
+        fwd_line["int8_value"] = round(q["value"], 2)
+        fwd_line["int8_untrusted"] = bool(sync.degraded)
 
     # --- KD train step: the headline (last line; driver parses the last) ---
     sync, fetch_ok = _make_sync()  # re-probe: the fetch path can die mid-run
