@@ -36,6 +36,7 @@ import dataclasses
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -365,14 +366,93 @@ def apply_integrity_checks(fwd_line, fwd, train_line, peak, kind, full_geom):
             )
 
 
+def _error_line(msg: str) -> dict:
+    """The headline metric's shape with value=null and a machine-readable
+    error — what the driver records when the backend cannot be reached
+    (instead of the raw-traceback/`parsed: null` of BENCH_r03)."""
+    return {
+        "metric": "kd_train_step_steps_per_sec",
+        "value": None,
+        "unit": "steps/sec (fithubert.yaml geometry)",
+        "vs_baseline": None,
+        "untrusted": True,
+        "error": msg,
+    }
+
+
+_ATTEMPT_ENV = "FITHUBERT_BENCH_ATTEMPT"
+
+
+def _reexec_or_die(msg: str, attempts: int, retry_delay: float) -> None:
+    """Retry backend init by re-exec (jax caches a FAILED backend init for
+    the life of the process, so an in-process retry can never succeed), or
+    print the structured error line and exit 0 on the last attempt."""
+    attempt = int(os.environ.get(_ATTEMPT_ENV, "1"))
+    if attempt < attempts:
+        print(
+            f"# backend init failed (attempt {attempt}/{attempts}), "
+            f"retrying in {retry_delay:.0f}s: {msg}",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(retry_delay)
+        os.environ[_ATTEMPT_ENV] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
+                 + sys.argv[1:])
+    print(json.dumps(_error_line(
+        f"backend init failed after {attempts} attempts: {msg}")), flush=True)
+    os._exit(0)
+
+
+def _acquire_backend(attempts: int | None = None,
+                     retry_delay: float | None = None,
+                     init_timeout: float | None = None):
+    """Initialize the JAX backend; never raise, never hang.
+
+    Tunnel/endpoint failures are often transient (CLAUDE.md), so a failed
+    init re-execs this process up to `attempts` times. A HUNG init (the
+    other observed failure mode — jax.devices() can block indefinitely when
+    the tunnel is half-up) is caught by a watchdog thread that re-execs (or
+    soft-fails) from outside the stuck call: execv replaces the whole
+    process image, stuck main thread included. On final failure a single
+    structured JSON line is printed and the process exits 0 so the driver
+    records WHY (VERDICT r3 #1a)."""
+    if attempts is None:
+        attempts = int(os.environ.get("FITHUBERT_BENCH_ATTEMPTS", "3"))
+    if retry_delay is None:
+        retry_delay = float(os.environ.get("FITHUBERT_BENCH_RETRY_DELAY", "45"))
+    if init_timeout is None:
+        init_timeout = float(
+            os.environ.get("FITHUBERT_BENCH_INIT_TIMEOUT", "480"))
+
+    init_done = threading.Event()
+
+    def watchdog():
+        if not init_done.wait(timeout=init_timeout):
+            _reexec_or_die(f"backend init hung > {init_timeout:.0f}s",
+                           attempts, retry_delay)
+
+    th = threading.Thread(target=watchdog, daemon=True)
+    th.start()
+    try:
+        import jax
+
+        from fithubert_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(probe_backend=True)
+        d = jax.devices()[0]
+        platform, kind = d.platform, d.device_kind
+    except Exception as e:  # noqa: BLE001 — anything here means "no backend"
+        init_done.set()  # the watchdog must not race the explicit handler
+        _reexec_or_die(f"{type(e).__name__}: {e}", attempts, retry_delay)
+        raise AssertionError("unreachable")  # pragma: no cover
+    finally:
+        init_done.set()
+    # the long benchmark phase that follows is NOT under the init timeout
+    return platform, kind
+
+
 def main():
-    import jax
-
-    from fithubert_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache(probe_backend=True)
-    platform = jax.devices()[0].platform
-    kind = jax.devices()[0].device_kind
+    platform, kind = _acquire_backend()
     peak = _peak_flops(kind)
     quick = "--quick" in sys.argv
 
@@ -393,22 +473,40 @@ def main():
             )
         return line
 
+    def measure_fwd(sync, probe_ok):
+        """Bf16 forward (+ the optional --int8 datum) under one sync; used
+        for both the first pass and a post-recovery re-measure so the int8
+        datum is never silently dropped (ADVICE r3)."""
+        fwd = bench_student_fwd(platform, quick, sync)
+        line = fwd_line_from(fwd, probe_ok and not sync.degraded)
+        if sync.degraded:
+            line["untrusted_reason"] = (
+                "fetch barrier wedged mid-run; later syncs degraded to "
+                "block_until_ready"
+            )
+        if "--int8" in sys.argv and probe_ok and not sync.degraded:
+            # optional: the int8-serving fwd (StudentConfig.quantize_matmuls)
+            # — an extra datum on the fwd line, never the headline (quantized
+            # numerics are opt-in, the parity configuration stays bf16)
+            q = bench_student_fwd(platform, quick, sync, int8=True)
+            line["int8_value"] = round(q["value"], 2)
+            line["int8_untrusted"] = bool(sync.degraded)
+        return fwd, line
+
+    # Warm the device->host fetch path once with a generous budget: the
+    # FIRST fetch after backend init has been observed to take minutes over
+    # a cold tunnel (compile + handshake), which would otherwise fail the
+    # 60 s health probes below and mark every line untrusted for a purely
+    # transient reason.
+    if platform != "cpu":
+        from fithubert_tpu.utils.barrier import probe_fetch
+
+        probe_fetch(timeout=float(
+            os.environ.get("FITHUBERT_BENCH_WARM_TIMEOUT", "600")))
+
     # --- student forward (printed first; the train line is the headline) ---
     sync, fetch_ok = _make_sync()
-    fwd = bench_student_fwd(platform, quick, sync)
-    fwd_line = fwd_line_from(fwd, fetch_ok and not sync.degraded)
-    if sync.degraded:
-        fwd_line["untrusted_reason"] = (
-            "fetch barrier wedged mid-run; later syncs degraded to "
-            "block_until_ready"
-        )
-    if "--int8" in sys.argv and not sync.degraded:
-        # optional: the int8-serving fwd (StudentConfig.quantize_matmuls) —
-        # an extra datum on the fwd line, never the headline (quantized
-        # numerics are opt-in, the parity configuration stays bf16)
-        q = bench_student_fwd(platform, quick, sync, int8=True)
-        fwd_line["int8_value"] = round(q["value"], 2)
-        fwd_line["int8_untrusted"] = bool(sync.degraded)
+    fwd, fwd_line = measure_fwd(sync, fetch_ok)
 
     # --- KD train step: the headline (last line; driver parses the last) ---
     sync, fetch_ok = _make_sync()  # re-probe: the fetch path can die mid-run
@@ -426,11 +524,10 @@ def main():
 
     if not fwd_line["fetch_ok"] and fetch_ok:
         # the tunnel's fetch path recovered mid-run (wedges are transient —
-        # CLAUDE.md): re-measure the forward with the healthy barrier rather
-        # than shipping an untrusted line (compiles are cached, so this is
-        # cheap)
-        fwd = bench_student_fwd(platform, quick, sync)
-        fwd_line = fwd_line_from(fwd, not sync.degraded)
+        # CLAUDE.md): re-measure the forward (including any --int8 datum)
+        # with the healthy barrier rather than shipping an untrusted line
+        # (compiles are cached, so this is cheap)
+        fwd, fwd_line = measure_fwd(sync, True)
 
     # cross-checks: physical peak bound + train-step-implied bound (at equal
     # hardware efficiency, fwd rate = train rate x FLOPs ratio per

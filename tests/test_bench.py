@@ -104,3 +104,93 @@ def test_smoke_geometry_skips_cross_check():
     bench.apply_integrity_checks(fwd_line, fwd, train, PEAK, "TPU v5 lite",
                                  full_geom=False)
     assert not fwd_line["untrusted"]
+
+
+# --------------------------------------------------------------- soft-fail
+# BENCH_r03 was rc=1/parsed:null because a backend-init failure produced a
+# raw traceback. These tests pin the fix (VERDICT r3 #1a): on final failure
+# bench prints ONE structured JSON line and exits 0; with attempts left it
+# re-execs (in-process retry cannot work — jax caches the failed backend).
+
+import json
+import os
+
+import pytest
+
+
+def test_error_line_is_the_headline_metric_shape():
+    line = bench._error_line("boom")
+    assert line["metric"] == "kd_train_step_steps_per_sec"
+    assert line["value"] is None
+    assert line["untrusted"] is True
+    assert "boom" in line["error"]
+    json.dumps(line)  # must be serializable as-is
+
+
+def test_reexec_or_die_final_attempt_prints_json_and_exits_0(
+        monkeypatch, capsys):
+    monkeypatch.setenv(bench._ATTEMPT_ENV, "3")
+    exits = []
+    monkeypatch.setattr(os, "_exit", lambda code: exits.append(code))
+    bench._reexec_or_die("TPU backend setup/compile error", attempts=3,
+                         retry_delay=0.0)
+    assert exits == [0]
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["value"] is None and line["untrusted"] is True
+    assert "TPU backend setup/compile error" in line["error"]
+    assert "3 attempts" in line["error"]
+
+
+class _ExecvCalled(Exception):
+    pass
+
+
+def test_reexec_or_die_with_attempts_left_reexecs(monkeypatch):
+    monkeypatch.setenv(bench._ATTEMPT_ENV, "1")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+
+    def fake_execv(exe, argv):
+        # the real execv never returns; raising stops the fall-through to
+        # the final-print + os._exit path
+        calls.append((exe, argv))
+        raise _ExecvCalled
+
+    monkeypatch.setattr(os, "execv", fake_execv)
+    with pytest.raises(_ExecvCalled):
+        bench._reexec_or_die("transient", attempts=3, retry_delay=45.0)
+    assert len(calls) == 1
+    exe, argv = calls[0]
+    assert argv[1].endswith("bench.py")
+    assert os.environ[bench._ATTEMPT_ENV] == "2"
+
+
+def test_acquire_backend_failure_soft_exits_with_json(monkeypatch, capsys):
+    import jax
+
+    monkeypatch.setenv(bench._ATTEMPT_ENV, "1")
+    monkeypatch.setenv("FITHUBERT_BENCH_ATTEMPTS", "1")
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    exits = []
+
+    def fake_exit(code):
+        exits.append(code)
+        raise SystemExit(code)
+
+    monkeypatch.setattr(os, "_exit", fake_exit)
+    with pytest.raises(SystemExit):
+        bench._acquire_backend(init_timeout=60.0)
+    assert exits == [0]
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["value"] is None and line["untrusted"] is True
+    assert "UNAVAILABLE" in line["error"]
+
+
+def test_acquire_backend_success_returns_platform(monkeypatch):
+    platform, kind = bench._acquire_backend(init_timeout=120.0)
+    assert platform == "cpu"  # conftest forces the CPU mesh
+    assert isinstance(kind, str) and kind
