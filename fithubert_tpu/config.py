@@ -279,9 +279,15 @@ class TrainConfig:
     fuse_grad_accum: bool = True
     # Run K full optimizer steps per device launch (lax.scan over K stacked
     # batch groups in one executable). Byte-identical math to K single
-    # launches; amortizes per-launch host/runtime overhead — ~9 ms/step on a
-    # tunneled v5e. Checkpoint/preemption/stop checks happen at launch
-    # granularity. 1 = reference-like one-launch-per-step.
+    # launches; amortizes per-launch host/runtime overhead. MEASURED
+    # 0.989x (i.e. slightly SLOWER) on the tunneled v5e at the release
+    # geometry — launches there already pipeline, and the scan's ~270 MB
+    # train-state loop carry costs; keep 1 unless per-launch overhead on
+    # your setup is real. Tradeoff at K>1: preemption/stop checks and the
+    # preemption checkpoint only run at LAUNCH granularity, so up to K-1
+    # optimizer steps execute after a peer host signals stop and the saved
+    # step can lag the flag by as much — keep K modest relative to the
+    # preemption grace window. 1 = reference-like one-launch-per-step.
     steps_per_launch: int = 1
     # PRNG for the step's dropout/specaug/layerdrop mask streams:
     # 'auto' = hardware rbg on TPU (measured -4.3% step time vs threefry at

@@ -84,8 +84,11 @@ class MultiHeadSelfAttention(nn.Module):
             dropout_p = 0.0 if deterministic else self.dropout
             seed = None
             if dropout_p > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                # full 64 bits of seed material — a 31-bit seed space
+                # collides across sites at ~n^2/2^31 per step (ADVICE r3)
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (2,), jnp.uint32),
+                    jnp.int32,
                 )
             out = flash_attention(
                 q, k, v, key_padding_mask,

@@ -56,7 +56,13 @@ def _make_kernel(dropout_p: float):
     inv = 1.0 / (1.0 - dropout_p)
 
     def _kernel(seed_ref, x_ref, o_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # prng_seed MIXES its operands (not adds): both 32-bit key words give
+        # distinct per-site streams (a plain seed+block_id sum made seed s
+        # block i collide with seed s+1 block i-1 — ADVICE r3). The block id
+        # XORs into the second word because Mosaic rejects prng_seed with
+        # more than 2 operands (measured on v5e); cross-key aliasing then
+        # needs an exact first-word match (2^-32).
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
         bits24 = jax.lax.shift_right_logical(bits, jnp.uint32(8)).astype(jnp.int32)
         keep = bits24 >= thr
@@ -105,11 +111,42 @@ def _core_bwd(dropout_p, interpret, seed, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+def _seed2(seed: jnp.ndarray) -> jnp.ndarray:
+    """Normalize a caller seed to the (2,) int32 the kernel consumes.
+
+    Callers with a full RNG key pass both 32-bit words (module_prob_dropout);
+    legacy (1,)/scalar seeds are zero-padded — a 31-bit space collides across
+    distinct dropout sites at ~n^2/2^31 per step (ADVICE r3), so new call
+    sites should always pass two words."""
+    seed = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed.shape[0] == 1:
+        seed = jnp.concatenate([seed, jnp.zeros((1,), jnp.int32)])
+    return seed[:2]
+
+
 def _bernoulli_fallback(x, seed, dropout_p):
     """Differentiable off-TPU path (autodiff stores the mask — fine on CPU)."""
-    key = jax.random.fold_in(jax.random.PRNGKey(0), seed.reshape(()))
+    seed = _seed2(seed)
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(0), seed[0]), seed[1]
+    )
     keep = jax.random.bernoulli(key, 1.0 - dropout_p, x.shape)
     return jnp.where(keep, x, 0.0) / jnp.asarray(1.0 - dropout_p, x.dtype)
+
+
+_warned_fallback = False
+
+
+def _warn_sharded_fallback(reason: str) -> None:
+    """LOUD one-time notice when the TPU kernel path is skipped under a
+    kernel mesh: the bernoulli+where path it degrades to costs ~4x the
+    attention math it regularizes (the 10.65 -> 11.8 steps/s win), so a
+    silent fallback could quietly lose it on a config change (ADVICE r3)."""
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        print(f"[seeded_dropout] WARNING: sharded TPU kernel path skipped "
+              f"({reason}); using the ~4x-cost bernoulli fallback", flush=True)
 
 
 def seeded_dropout(
@@ -134,7 +171,7 @@ def seeded_dropout(
         # the bernoulli path is the only off-TPU option
         return _bernoulli_fallback(x, seed, dropout_p)
 
-    seed = seed.astype(jnp.int32).reshape(1)
+    seed = _seed2(seed)
     shape = x.shape
     n = shape[-1] if x.ndim >= 2 else x.size
     flat = lambda a: a.reshape(-1, n)
@@ -146,6 +183,8 @@ def seeded_dropout(
     if mesh is not None:
         n_data = mesh.shape.get("data", 1)
         if x.ndim < 2 or shape[0] % n_data != 0:
+            _warn_sharded_fallback(
+                f"x.shape={shape} not divisible by data axis {n_data}")
             return _bernoulli_fallback(x, seed, dropout_p)
 
         def _sharded(xs, seeds):
@@ -176,7 +215,10 @@ def module_prob_dropout(module, probs, rate: float, deterministic: bool):
     nn.Dropout's contract of not touching make_rng when rate == 0."""
     if deterministic or rate <= 0.0:
         return probs
-    seed = jax.random.randint(
-        module.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+    # full 64 bits of seed material (implementation-independent across
+    # threefry/rbg keys): two uint32 words bitcast to the kernel's int32
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.bits(module.make_rng("dropout"), (2,), jnp.uint32),
+        jnp.int32,
     )
     return seeded_dropout(probs, seed, rate)

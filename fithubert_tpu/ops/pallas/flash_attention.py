@@ -49,8 +49,11 @@ def _attention_reference(q, k, v, key_padding_mask):
 def _keep_mask(seed_ref, z, qb, kb, nq, nk, shape, dropout_p: float):
     """Deterministic per-(z, q-block, k-block) Bernoulli keep mask. The same
     (z, qb, kb) triple regenerates the same mask in forward and backward
-    kernels regardless of their grid orders (24-bit threshold compare)."""
-    pltpu.prng_seed(seed_ref[0] + (z * nq + qb) * nk + kb)
+    kernels regardless of their grid orders (24-bit threshold compare).
+    prng_seed MIXES both 32-bit seed words — a plain seed+index sum would
+    alias adjacent seeds' block streams (ADVICE r3). The block index XORs
+    into the second word (Mosaic rejects >2 prng_seed operands on v5e)."""
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ ((z * nq + qb) * nk + kb))
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     bits24 = jax.lax.shift_right_logical(bits, jnp.uint32(8)).astype(jnp.int32)
     thr = min(int(dropout_p * (1 << 24)), (1 << 24) - 1)
@@ -361,7 +364,7 @@ def flash_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,
     *,
     dropout_p: float = 0.0,
-    dropout_seed: Optional[jnp.ndarray] = None,  # (1,) int32
+    dropout_seed: Optional[jnp.ndarray] = None,  # (2,) int32 ((1,) accepted)
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
@@ -409,8 +412,10 @@ def flash_attention(
 
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, t), dtype=bool)
-    seed = (dropout_seed if dropout_seed is not None
-            else jnp.zeros((1,), jnp.int32)).astype(jnp.int32).reshape(1)
+    from fithubert_tpu.ops.pallas.dropout import _seed2
+
+    seed = _seed2(dropout_seed if dropout_seed is not None
+                  else jnp.zeros((2,), jnp.int32))
 
     from fithubert_tpu.parallel import current_kernel_mesh
 
