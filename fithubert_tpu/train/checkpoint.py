@@ -9,6 +9,14 @@ v_loss plus last (reference train.py:475-483), resumes via ckpt_path
     newest (async-capable, atomic).
   - `export_student(...)` writes the (yaml, student-weights msgpack) pair —
     the checkpoint contract consumed by export/expert.py.
+
+Multi-host: pass the GLOBAL on-device state (jax.Arrays) to save/restore
+from EVERY process — orbax coordinates the sharded write (each process
+persists its addressable shards; the primary commits), which is the only
+correct path when a model>1 mesh leaves TP shards non-addressable from
+host 0. Requires `directory` on a filesystem shared by all hosts (the
+standard multi-host TPU setup). Exercised by tests/test_multihost.py over
+a 2-process loopback with cross-process TP-sharded params.
 """
 
 from __future__ import annotations

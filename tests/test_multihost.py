@@ -64,14 +64,18 @@ def test_two_process_loopback(tmp_path):
         )
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, out + err
         outs.append(out)
 
-    losses = set()
+    losses, tp_losses = set(), set()
     for out in outs:
-        m = re.search(r"WORKER_OK pid=(\d) total=(\S+) loss=(\S+)", out)
+        m = re.search(
+            r"WORKER_OK pid=(\d) total=(\S+) loss=(\S+) tp_loss=(\S+)", out)
         assert m, out
         assert m.group(3) != "None"
+        assert m.group(4) != "None"
         losses.add(m.group(3))
+        tp_losses.add(m.group(4))
     assert len(losses) == 1, losses  # both hosts computed the same global loss
+    assert len(tp_losses) == 1, tp_losses  # cross-process TP phase agreed too
