@@ -95,6 +95,33 @@ class Conv1D(nn.Module):
                 "btsc,sco->bto", r.astype(dtype), kernel.astype(dtype),
                 preferred_element_type=jnp.float32,
             )
+        elif (self.groups == 1 and self.padding == (0, 0)
+              and self.stride < self.kernel_size
+              and self.kernel_size <= 2 * self.stride
+              and in_ch * self.kernel_size <= 32):
+            # wav front block (k <= 2s, tiny fan-in): tap-decomposed matmul.
+            # lax.conv here forced a whole-activation relayout copy in front
+            # of the fused pallas stack (r4 xplane trace: XLA picks a
+            # {2,0,1} conv output layout while the pallas custom call needs
+            # the default {2,1,0} — 1.64 ms/step teacher + 0.42 student at
+            # the release geometry); a dot emits the standard layout
+            # directly. The im2col tensor is (B, T, k*in_ch) — tiny at the
+            # in_ch == 1 this gate admits. Tap j < s reads window row f,
+            # tap j >= s row f+1 (same trick as the pallas stack).
+            b, t_in, _ = x.shape
+            k, s = self.kernel_size, self.stride
+            t_out = (t_in - k) // s + 1
+            need = (t_out + 1) * s
+            xx = x if t_in >= need else jnp.pad(
+                x, ((0, 0), (0, need - t_in), (0, 0)))
+            r = xx[:, :need].reshape(b, t_out + 1, s * in_ch)
+            im2col = jnp.concatenate(
+                [r[:, :t_out], r[:, 1:]], axis=-1)[..., : k * in_ch]
+            y = jnp.einsum(
+                "btk,ko->bto", im2col.astype(dtype),
+                kernel.reshape(k * in_ch, self.features).astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
         else:
             if self.groups > 1 and self.stride == 1:
                 # grouped stride-1 (multi-layer pos conv, conformer

@@ -25,13 +25,13 @@ from fithubert_tpu.config import LossConfig, StudentConfig
 from fithubert_tpu.models.student import StudentOutput
 from fithubert_tpu.models.teacher import TeacherOutput
 
-# Experiment knob (see /tmp/exp_heads experiments): XLA fuses each per-slot
-# MSE reduce into the projection-head matmul that feeds it, yielding 12
-# convert_reduce_fusions at ~0.47 ms each (~10x their flop/bandwidth bound).
-# The barrier splits matmuls from reduces so each lowers to its fast form.
-import os as _os
-
-_LOSS_MATMUL_BARRIER = _os.environ.get("FITH_LOSS_BARRIER", "0") == "1"
+# MEASURED-NEGATIVE (r4, on-chip): an optimization_barrier between the
+# projection-head matmuls and the loss reduces — hypothesized to split 12
+# "convert_reduce" fusions into faster separate forms — benched 12.878 vs
+# 13.048 steps/s (0.987x) at the release geometry; the split's extra f32
+# materialization traffic outweighs any fusion pathology. An r4 xplane
+# trace also re-attributed those fusions to the TEACHER's fc2 matmuls
+# (matmul-bound at ~36% MFU), not loss glue. Knob deleted; don't retry.
 
 
 class LossOutput(NamedTuple):
@@ -215,11 +215,6 @@ def compute_losses(
         t_s = min(pred.shape[2], target.shape[2])
         pred = pred[:, :, :t_s]
         target = target[:, :, :t_s]
-        if _LOSS_MATMUL_BARRIER:
-            # split the head matmuls from the per-slot loss reduces (see the
-            # module-level note); barrier BEFORE the f32 upcast so only the
-            # compute-dtype stack materializes
-            pred = jax.lax.optimization_barrier(pred)
         pred = f32(pred)
         target = f32(target)
 
