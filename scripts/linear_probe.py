@@ -165,6 +165,212 @@ def run_probe(
     }
 
 
+# ------------------------------------------------------- CTC sequence probe
+# One level up from framewise tone classification (VERDICT r3 weak #5): the
+# SUPERB ASR downstream is sequence TRANSDUCTION — a CTC head over frozen
+# frames, greedy-decoded, scored by edit distance. This probe exercises the
+# frame-rate/blank/alignment contract that workflow depends on.
+
+CTC_ALPHABET = "abcd"
+
+
+def make_spoken_dataset(
+    n_utts: int, seed: int = 0, n_letters=(3, 6), letter_sec: float = 0.25
+) -> Tuple[List[np.ndarray], List[str]]:
+    """Synthetic 'speech': each utterance is a random letter string from a
+    4-letter alphabet, each letter rendered as a PURE tone in a distinct
+    frequency band for `letter_sec`, separated by silences long enough to
+    survive the student's time reduction as blank frames. The waveform
+    ENCODES the transcript (unlike the e2e corpus fixtures, whose sinusoids
+    carry no text), so a CTC head over frequency-preserving frozen features
+    can transcribe it — and cannot transcribe shuffled targets.
+
+    Pure tones at non-harmonic spacing: an octave-spaced HARMONIC alphabet
+    (like make_tone_dataset's) puts class c's 2*f0 partial exactly on class
+    c+1's fundamental, which collapses the higher letters under a linear
+    CTC head (measured: they decode as blank)."""
+    rng = np.random.default_rng(seed)
+    f0s = (160.0, 330.0, 700.0, 1500.0)  # no f0 multiple hits another band
+    wavs, texts = [], []
+    for _ in range(n_utts):
+        k = int(rng.integers(n_letters[0], n_letters[1] + 1))
+        text = "".join(rng.choice(list(CTC_ALPHABET), size=k))
+        segs = []
+        for ch in text:
+            f0 = f0s[CTC_ALPHABET.index(ch)] * rng.uniform(0.97, 1.03)
+            n = int(letter_sec * SR * rng.uniform(0.9, 1.1))
+            t = np.arange(n) / SR
+            seg = 0.6 * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
+            # fade in/out to avoid clicks, then a silence gap (blank frames —
+            # must span >= a few POST-time-reduction frames or repeated
+            # letters become indistinguishable from one long one)
+            ramp = min(len(seg) // 8, 320)
+            seg[:ramp] *= np.linspace(0, 1, ramp)
+            seg[-ramp:] *= np.linspace(1, 0, ramp)
+            segs.append(seg)
+            segs.append(np.zeros(int(0.15 * SR)))
+        wav = np.concatenate(segs) + 0.02 * rng.standard_normal(
+            sum(len(s) for s in segs))
+        wavs.append(wav.astype(np.float32))
+        texts.append(text)
+    return wavs, texts
+
+
+def extract_sequences(expert, wavs, layer: int = -1, batch_size: int = 8):
+    """Frozen per-utterance frame-feature sequences [(T_i, D)] — the CTC
+    probe needs sequences, not the flattened frames of the framewise probe."""
+    seqs = []
+    for i in range(0, len(wavs), batch_size):
+        chunk = list(wavs[i: i + batch_size])
+        out = expert(chunk)
+        hs = out["hidden_states"][layer]
+        pad = out["padding_mask"]
+        t_max = max(len(w) for w in chunk)
+        for j, w in enumerate(chunk):
+            if pad is not None and pad.shape[1] == hs.shape[1]:
+                valid = ~pad[j]
+            else:
+                n_frames = min(
+                    hs.shape[1],
+                    int(len(w) * hs.shape[1] / (t_max + 1e-9)) or 1,
+                )
+                valid = np.arange(hs.shape[1]) < n_frames
+            seqs.append(np.asarray(hs[j][valid], np.float32))
+    return seqs
+
+
+def _greedy_ctc_decode(logits: np.ndarray, n_frames: int) -> str:
+    """argmax -> collapse repeats -> drop blanks (blank id 0)."""
+    ids = logits[:n_frames].argmax(-1)
+    out, prev = [], 0
+    for i in ids:
+        if i != prev and i != 0:
+            out.append(CTC_ALPHABET[i - 1])
+        prev = i
+    return "".join(out)
+
+
+def _pack_ctc_batch(seqs, texts, mu, sd):
+    t_max = max(s.shape[0] for s in seqs)
+    l_max = max(len(t) for t in texts)
+    b = len(seqs)
+    x = np.zeros((b, t_max, seqs[0].shape[1]), np.float32)
+    xpad = np.ones((b, t_max), np.float32)
+    y = np.zeros((b, l_max), np.int32)
+    ypad = np.ones((b, l_max), np.float32)
+    for j, (s, txt) in enumerate(zip(seqs, texts)):
+        x[j, : s.shape[0]] = (s - mu) / sd
+        xpad[j, : s.shape[0]] = 0.0
+        ids = [1 + CTC_ALPHABET.index(c) for c in txt]
+        y[j, : len(ids)] = ids
+        ypad[j, : len(ids)] = 0.0
+    return x, xpad, y, ypad
+
+
+def train_ctc_probe(
+    seqs, texts: Sequence[str], steps: int = 6000, lr: float = 0.05,
+    seed: int = 0, eval_seqs=None, eval_texts=None, hidden: int = 64,
+) -> Tuple[float, float]:
+    """A small CTC head (one hidden layer, D -> hidden -> blank+alphabet) on
+    FROZEN feature sequences. Returns (final train ctc loss, greedy-decode
+    CER) — scored on the HELD-OUT (eval_seqs, eval_texts) when given, else
+    on the training utterances.
+
+    Why not a linear head: with a randomly-initialized upstream, attention
+    mixes the whole utterance into every frame, so even a 320-param linear
+    head fully memorizes arbitrary (shuffled) training transcripts while
+    the CTC objective sticks in a blank-heavy local optimum for the TRUE
+    ones (measured: linear probe train loss plateaued lr-independently at
+    21.2 while the shuffled control fit to 0.04). One hidden layer gives
+    the optimizer an escape route; held-out scoring separates the tone
+    solution (generalizes) from fingerprint memorization (does not)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fithubert_tpu.utils.text import cer
+
+    n_cls = 1 + len(CTC_ALPHABET)
+    flat = np.concatenate(seqs, axis=0)
+    mu, sd = flat.mean(0, keepdims=True), flat.std(0, keepdims=True) + 1e-6
+    x, xpad, y, ypad = map(jnp.asarray, _pack_ctc_batch(seqs, texts, mu, sd))
+
+    d = x.shape[-1]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    params = {
+        "w1": jax.random.normal(k1, (d, hidden)) / np.sqrt(d),
+        "b1": jnp.zeros((hidden,)),
+        "w2": jax.random.normal(k2, (hidden, n_cls)) * 0.01,
+        "b2": jnp.zeros((n_cls,)),
+    }
+
+    def head(p, xx):
+        return jax.nn.relu(xx @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps),
+                     weight_decay=1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return optax.ctc_loss(head(p, x), xpad, y, ypad,
+                                  blank_id=0).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = None
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+
+    if eval_seqs is not None:  # train-set normalization, unseen utterances
+        sx, spad, _, _ = _pack_ctc_batch(eval_seqs, eval_texts, mu, sd)
+        stexts = list(eval_texts)
+    else:
+        sx, spad, stexts = np.asarray(x), np.asarray(xpad), list(texts)
+    logits = np.asarray(head(params, jnp.asarray(sx)))
+    hyps = [
+        _greedy_ctc_decode(logits[j], int((1 - spad[j]).sum()))
+        for j in range(len(stexts))
+    ]
+    return float(loss), cer(stexts, hyps)
+
+
+def run_ctc_probe(expert, n_utts: int = 60, steps: int = 6000,
+                  layer: int = -1, seed: int = 0, n_eval: int = 12):
+    """CTC probe vs transcript-shuffled control, scored on HELD-OUT
+    utterances. A decisively lower probe CER requires the export to preserve
+    frame-level ORDER and rate (the SUPERB-ASR alignment contract), not just
+    framewise class separability. Held-out scoring is essential: the
+    student's positional features give even a LINEAR head enough capacity
+    to fully memorize shuffled training transcripts (measured: control
+    train-CER 0.0 at 6000 steps) — only generalization separates signal
+    from memorization. With the random-init upstream used in tests the
+    probe's held-out CER is imperfect (~0.5; a distilled upstream's
+    features would do far better) while the control degenerates completely
+    (CER > 1 with repetition soup), so the assertion is the GAP."""
+    wavs, texts = make_spoken_dataset(n_utts, seed=seed)
+    seqs = extract_sequences(expert, wavs, layer)
+    tr_s, tr_t = seqs[:-n_eval], texts[:-n_eval]
+    ev_s, ev_t = seqs[-n_eval:], texts[-n_eval:]
+    loss, probe_cer = train_ctc_probe(
+        tr_s, tr_t, steps, seed=seed, eval_seqs=ev_s, eval_texts=ev_t)
+    rng = np.random.default_rng(seed + 1)
+    shuffled = [tr_t[i] for i in rng.permutation(len(tr_t))]
+    c_loss, control_cer = train_ctc_probe(
+        tr_s, shuffled, steps, seed=seed, eval_seqs=ev_s, eval_texts=ev_t)
+    return {
+        "probe_ctc_loss": loss,
+        "probe_cer": probe_cer,
+        "control_ctc_loss": c_loss,
+        "control_cer": control_cer,
+        "n_utts": n_utts,
+        "n_eval": n_eval,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True,
@@ -175,6 +381,8 @@ def main():
     ap.add_argument("--classes", type=int, default=4)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--layer", type=int, default=-1)
+    ap.add_argument("--ctc", action="store_true",
+                    help="run the CTC sequence-transduction probe instead")
     args = ap.parse_args()
 
     if args.platform:
@@ -185,9 +393,17 @@ def main():
     from fithubert_tpu.export.expert import UpstreamExpert
 
     expert = UpstreamExpert(args.ckpt, args.config, length_quantum=8000)
-    res = run_probe(expert, args.n_utts, args.classes, args.steps, args.layer)
     import json
 
+    if args.ctc:
+        res = run_ctc_probe(expert, args.n_utts, args.steps, args.layer)
+        print(json.dumps(res))
+        ok = res["probe_cer"] < res["control_cer"] - 0.2
+        print("CTC PROBE " + ("PASSED" if ok else "FAILED")
+              + f": cer {res['probe_cer']:.3f} vs control "
+              f"{res['control_cer']:.3f}")
+        return 0 if ok else 1
+    res = run_probe(expert, args.n_utts, args.classes, args.steps, args.layer)
     print(json.dumps(res))
     ok = (
         res["probe_acc"] > res["control_acc"] + 0.2
