@@ -187,10 +187,16 @@ class ConvTranspose1D(nn.Module):
             # faster on TPU than XLA's lhs-dilated conv lowering (measured
             # 3.3 TF/s for the dilated form at FitHuBERT shapes)
             b, t, _c = x.shape
+            # cast to the compute dtype BEFORE the (t, k) -> t*k flatten:
+            # the tiled-layout relayout that reshape forces then moves half
+            # the bytes (an r4 trace measured 1.34 ms/step of f32 copy +
+            # reshape here at release shapes). f32 accumulation in the dot
+            # is preserved; only the bias add moves to the compute dtype
+            # (a no-op in fp32 mode).
             y = jnp.einsum(
                 "btc,koc->btko", x.astype(dtype), kernel.astype(dtype),
                 preferred_element_type=jnp.float32,
-            ).reshape(b, t * self.kernel_size, self.features)
+            ).astype(dtype).reshape(b, t * self.kernel_size, self.features)
         else:
             # conv_transpose == conv with lhs dilation `stride`, full padding,
             # spatially-flipped kernel, and in/out channels swapped.
@@ -206,7 +212,9 @@ class ConvTranspose1D(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", shifted_uniform, (self.features,), jnp.float32)
-            y = y + bias
+            # add in y's dtype: y + fp32 bias would promote the whole tensor
+            # back to f32 (and un-do the pre-reshape downcast above)
+            y = y + bias.astype(y.dtype)
         return y.astype(dtype)
 
 

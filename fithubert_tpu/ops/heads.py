@@ -167,12 +167,15 @@ def batched_layerwise_proj(hiddens, head_params, dtype):
         wk = jnp.stack([up[0] for (up, _) in head_params], axis=0)  # (L,K,O,C)
         wb = jnp.stack([up[1] for (up, _) in head_params], axis=0)  # (L,O)
         k = wk.shape[1]
+        # downcast BEFORE the (t, k) flatten so the forced relayout copies
+        # half the bytes, and add the bias in compute dtype — mirrors
+        # ConvTranspose1D's k == s branch exactly (the gradient-equality
+        # test pins the two paths to each other)
         y = jnp.einsum(
             "lbtc,lkoc->lbtko", *_dot_operands(h, wk, dtype),
             preferred_element_type=jnp.float32,
-        )
-        y = y.reshape(l, b, t * k, wk.shape[2]) + wb[:, None, None, :]
-        y = y.astype(dtype)
+        ).astype(dtype)
+        y = y.reshape(l, b, t * k, wk.shape[2]) + wb[:, None, None, :].astype(dtype)
     else:
         y = h.astype(dtype)
     if lin0 is not None:
