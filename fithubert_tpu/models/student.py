@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fithubert_tpu.config import SpecAugConfig, StudentConfig
+from fithubert_tpu.ops.activations import gelu_exact
 from fithubert_tpu.ops.conv import ConvFeatureExtractor, ConvTranspose1D, grad_multiply
 from fithubert_tpu.ops.heads import (
     LayerWiseProjHead,
@@ -138,7 +139,7 @@ class StudentModel(nn.Module):
         features_to_distill = features
         if cfg.pred_head_final_dim != cfg.encoder_embed_dim and cfg.cnn_weight > 0 \
                 and not self.disable_projections:
-            h = jax.nn.gelu(features_to_distill, approximate=False)
+            h = gelu_exact(features_to_distill)
             features_to_distill = nn.Dense(
                 cfg.pred_head_final_dim, dtype=dtype, param_dtype=jnp.float32,
                 name="cnn_proj_head",
@@ -249,7 +250,7 @@ class StudentModel(nn.Module):
                     inter * cfg.n_tasks, dtype=dtype, param_dtype=jnp.float32,
                     name="proj_head_in",
                 )(x)
-                h = jax.nn.gelu(h, approximate=False)
+                h = gelu_exact(h)
                 pred = SplitLinear(
                     in_dim=inter,
                     in_split=cfg.n_tasks,

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fithubert_tpu.ops.activations import gelu_exact
 from fithubert_tpu.ops.norms import FP32GroupNorm, FP32LayerNorm
 
 Initializer = nn.initializers.Initializer
@@ -305,7 +306,7 @@ class ConvFeatureExtractor(nn.Module):
             x = FP32LayerNorm(name="layer_norm_0")(x)
         elif gn is not None:
             x = gn(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
 
         for i, (dim, k, stride) in enumerate(self.conv_layers[1:], start=1):
             x = convs[i](x)
@@ -313,7 +314,7 @@ class ConvFeatureExtractor(nn.Module):
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             if self.mode == "layer_norm":
                 x = FP32LayerNorm(name=f"layer_norm_{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = gelu_exact(x)
         return x
 
 
@@ -417,7 +418,7 @@ class PositionalConv(nn.Module):
         y = y + bias.astype(dtype)
         if k % 2 == 0:  # SamePad: drop trailing step for even kernels
             y = y[:, :-1, :]
-        return jax.nn.gelu(y, approximate=False)
+        return gelu_exact(y)
 
 
 class MultiLayerPositionalConv(nn.Module):
@@ -446,7 +447,7 @@ class MultiLayerPositionalConv(nn.Module):
             if k % 2 == 0:
                 x = x[:, :-1, :]
             x = FP32LayerNorm(use_affine=False, name=f"layer_norm_{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = gelu_exact(x)
         return x
 
 

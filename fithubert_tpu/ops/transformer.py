@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fithubert_tpu.config import StudentConfig
+from fithubert_tpu.ops.activations import gelu_exact
 from fithubert_tpu.ops.attention import AttentionTaps, MultiHeadSelfAttention, bert_init
 from fithubert_tpu.ops.conv import Conv1D, MultiLayerPositionalConv, PositionalConv
 from fithubert_tpu.ops.norms import FP32LayerNorm
@@ -31,7 +32,7 @@ from fithubert_tpu.ops.padding import (
 
 ACTIVATIONS = {
     "relu": jax.nn.relu,
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": gelu_exact,  # erf-lowered; jax.nn.gelu's erfc form is ~2x the fc matmul on VPU
     "gelu_fast": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_accurate": lambda x: jax.nn.gelu(x, approximate=True),
     "tanh": jnp.tanh,
@@ -185,7 +186,7 @@ class TimeReduction(nn.Module):
         if self.layer_type == "fc2":
             h = nn.Dense(self.embed_dim * f, kernel_init=bert_init,
                          dtype=self.dtype, param_dtype=jnp.float32, name="fc_a")(xc)
-            h = jax.nn.gelu(h, approximate=False)
+            h = gelu_exact(h)
             return nn.Dense(self.embed_dim, kernel_init=bert_init,
                             dtype=self.dtype, param_dtype=jnp.float32, name="fc_b")(h)
         raise NotImplementedError(
