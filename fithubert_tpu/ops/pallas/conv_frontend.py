@@ -170,6 +170,7 @@ def _make_kernel(spec: Spec, f_tile: int, span: int, c_in: int,
     return kernel
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gn_prefix(x, gamma, beta, eps=1e-5, valid_len=None):
     """Per-channel-over-time GroupNorm(d, d) + GELU (the reference's block-0
     tail) in fp32 stats, matching ops/norms.FP32GroupNorm for groups == C.
@@ -177,14 +178,60 @@ def _gn_prefix(x, gamma, beta, eps=1e-5, valid_len=None):
     With valid_len, stats are computed over x[:, :valid_len] only (rows past
     it are DMA-alignment padding, see conv_stack's valid_len) but the affine
     is applied to every row — padded rows' values never reach a valid output
-    frame, so only the stats must exclude them for parity."""
+    frame, so only the stats must exclude them for parity.
+
+    Custom VJP: autodiff of the one-pass stats materializes the whole
+    activation in f32 several times (an r4 step trace priced the student
+    block-0 GN backward at ~2 ms/step across add_add / multiply_reduce /
+    slice_reduce fusions at (12, 38944, 128)). The hand-written backward is
+    the classic GN formula — one reduce pass and one apply pass, both
+    reading the bf16 residuals and accumulating in f32 in-register:
+
+      dx_t = rstd * (h_t - [t < V] * (S1 + xhat_t * S2) / V)
+      h = dL/dxhat,  S1 = sum_t h,  S2 = sum_t h * xhat
+
+    where the S-sums run over ALL rows (every row's output uses the shared
+    stats; rows past valid_len receive zero cotangent anyway) and only rows
+    inside the stats population get the correction term."""
+    return _gn_prefix_fwd(x, gamma, beta, eps, valid_len)[0]
+
+
+def _gn_prefix_fwd(x, gamma, beta, eps, valid_len):
     x32 = x.astype(jnp.float32)
     stats = x32 if valid_len is None else x32[:, :valid_len]
     mean = jnp.mean(stats, axis=1, keepdims=True)
     var = jnp.var(stats, axis=1, keepdims=True)
-    y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps)) * gamma + beta
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (x32 - mean) * rstd * gamma + beta
     approx = jnp.dtype(x.dtype) != jnp.float32
-    return jax.nn.gelu(y, approximate=approx).astype(x.dtype)
+    out = jax.nn.gelu(y, approximate=approx).astype(x.dtype)
+    return out, (x, gamma, beta, mean, rstd)
+
+
+def _gn_prefix_bwd(eps, valid_len, res, dout):
+    x, gamma, beta, mean, rstd = res
+    approx = jnp.dtype(x.dtype) != jnp.float32
+    n = x.shape[1] if valid_len is None else valid_len
+    xhat = (x.astype(jnp.float32) - mean) * rstd  # recomputed, fuses
+
+    def tail(xh, ga, be):
+        return jax.nn.gelu(xh * ga + be, approximate=approx).astype(x.dtype)
+
+    # elementwise tail (affine + GELU) via autodiff: dgamma/dbeta fall out
+    # with the right broadcast-sums, h = dL/dxhat
+    _, tail_vjp = jax.vjp(tail, xhat, gamma, beta)
+    h, dgamma, dbeta = tail_vjp(dout)
+    s1 = jnp.sum(h, axis=1, keepdims=True)
+    s2 = jnp.sum(h * xhat, axis=1, keepdims=True)
+    corr = (s1 + xhat * s2) * (1.0 / n)
+    if valid_len is not None and valid_len < x.shape[1]:
+        in_stats = (jnp.arange(x.shape[1]) < valid_len)[None, :, None]
+        corr = jnp.where(in_stats, corr, 0.0)
+    dx = (rstd * (h - corr)).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+_gn_prefix.defvjp(_gn_prefix_fwd, _gn_prefix_bwd)
 
 
 def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec,
@@ -195,7 +242,7 @@ def _reference_stack(x: jnp.ndarray, weights: Sequence[jnp.ndarray], spec: Spec,
     them and the output is cropped to the frames the valid rows produce."""
     t_out = None if valid_len is None else _out_len(valid_len, spec)
     if gamma is not None:
-        x = _gn_prefix(x, gamma, beta, valid_len=valid_len)
+        x = _gn_prefix(x, gamma, beta, 1e-5, valid_len)
     dn = jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NHC", "HIO", "NHC"))
     approx = jnp.dtype(x.dtype) != jnp.float32  # same flavor as the kernel
     for (w, (_d, k, s)) in zip(weights, spec):

@@ -192,3 +192,54 @@ def test_gn_prefix_fused_matches_oracle():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("dtype,valid_len", [
+    (jnp.float32, None),
+    (jnp.float32, 410),
+    (jnp.bfloat16, None),
+    (jnp.bfloat16, 410),
+])
+def test_gn_prefix_custom_vjp_matches_autodiff(dtype, valid_len):
+    """The hand-written GN+GELU backward (classic two-pass formula) must
+    match plain autodiff of the same math, including the valid_len stats
+    slice and both GELU flavors (exact for f32, tanh for bf16)."""
+    from fithubert_tpu.ops.pallas.conv_frontend import _gn_prefix
+
+    rng = np.random.default_rng(7)
+    b, t, c = 3, 512, 16
+    x = jnp.asarray(rng.standard_normal((b, t, c)), dtype)
+    gamma = jnp.asarray(rng.standard_normal((c,)) * 0.5 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+
+    def reference(x_, ga, be):
+        # the same math WITHOUT the custom VJP
+        x32 = x_.astype(jnp.float32)
+        stats = x32 if valid_len is None else x32[:, :valid_len]
+        mean = jnp.mean(stats, axis=1, keepdims=True)
+        var = jnp.var(stats, axis=1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * ga + be
+        approx = jnp.dtype(dtype) != jnp.float32
+        return jax.nn.gelu(y, approximate=approx).astype(x_.dtype)
+
+    dout = jnp.asarray(rng.standard_normal((b, t, c)), dtype)
+    if valid_len is not None:
+        # rows past valid_len never receive cotangent in real use
+        dout = dout.at[:, valid_len:].set(0)
+
+    out_c, vjp_c = jax.vjp(lambda x_, g_, b_: _gn_prefix(x_, g_, b_, 1e-5,
+                                                         valid_len),
+                           x, gamma, beta)
+    out_r, vjp_r = jax.vjp(reference, x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(out_c, np.float32),
+                               np.asarray(out_r, np.float32), rtol=0, atol=0)
+    dx_c, dg_c, db_c = vjp_c(dout)
+    dx_r, dg_r, db_r = vjp_r(dout)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(dx_c, np.float32),
+                               np.asarray(dx_r, np.float32),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(dg_c), np.asarray(dg_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_c), np.asarray(db_r),
+                               rtol=1e-4, atol=1e-4)

@@ -386,3 +386,25 @@ def test_batched_layerwise_proj_grads_match_per_head():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
+
+
+def test_gelu_exact_matches_jax_and_torch(np_rng):
+    """ops/activations.gelu_exact (erf form, the perf-critical lowering) ==
+    jax.nn.gelu(approximate=False) (erfc form) == torch's exact GELU."""
+    from fithubert_tpu.ops.activations import gelu_exact
+
+    x = np_rng.standard_normal(4096).astype(np.float32) * 4.0
+    ours = np.asarray(gelu_exact(jnp.asarray(x)))
+    jaxs = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
+    tor = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    # abs-tol floor: the erf and erfc forms differ by float rounding in the
+    # deep-negative tail where gelu(x) ~ 1e-30 (relative error unbounded,
+    # absolute error ulp-scale -- the documented, accepted divergence)
+    np.testing.assert_allclose(ours, jaxs, rtol=1e-5, atol=3e-6)
+    np.testing.assert_allclose(ours, tor, rtol=1e-5, atol=3e-6)
+
+    # gradients agree too (the VJP is what the train step runs)
+    g_ours = np.asarray(jax.grad(lambda v: gelu_exact(v).sum())(jnp.asarray(x)))
+    g_jax = np.asarray(jax.grad(
+        lambda v: jax.nn.gelu(v, approximate=False).sum())(jnp.asarray(x)))
+    np.testing.assert_allclose(g_ours, g_jax, rtol=1e-4, atol=1e-5)
