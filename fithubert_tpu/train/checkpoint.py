@@ -21,6 +21,7 @@ a 2-process loopback with cross-process TP-sharded params.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Any, Optional, Tuple
 
@@ -35,17 +36,37 @@ class CheckpointManager:
     def __init__(self, directory: str, save_top_k: int = 3):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+
+        # Orbax derives its cross-process barrier keys from a PER-INSTANCE
+        # counter ("_async_write_complete.<n>"), so two managers in one
+        # process — best/ and last/ here, or two CheckpointManagers over
+        # different run dirs — reuse identical keys. Under jax.distributed
+        # an async save of one can still hold barrier .n open on a slow
+        # host while the other enters its own .n: FAILED_PRECONDITION
+        # "Barrier already ongoing" (reproduced under load in
+        # tests/test_multihost.py). A per-manager key prefix derived from
+        # the directory (identical on every host, distinct per manager)
+        # makes the keyspaces disjoint.
+        def _mp_opts(sub: str):
+            tag = hashlib.md5(
+                os.path.join(directory, sub).encode()).hexdigest()[:10]
+            return ocp.options.MultiprocessingOptions(
+                barrier_sync_key_prefix=f"{sub}_{tag}")
+
         self._best = ocp.CheckpointManager(
             os.path.join(directory, "best"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=save_top_k,
                 best_fn=lambda m: m["v_loss"],
                 best_mode="min",
+                multiprocessing_options=_mp_opts("best"),
             ),
         )
         self._last = ocp.CheckpointManager(
             os.path.join(directory, "last"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, multiprocessing_options=_mp_opts("last"),
+            ),
         )
 
     def save(self, step: int, state, v_loss: float) -> None:
