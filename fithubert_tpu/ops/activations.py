@@ -26,6 +26,9 @@ _INV_SQRT2 = 0.7071067811865476
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """``0.5 * x * (1 + erf(x / sqrt(2)))`` — exact GELU, erf-lowered."""
-    xf = x.astype(jnp.float32)
+    """``0.5 * x * (1 + erf(x / sqrt(2)))`` — exact GELU, erf-lowered.
+
+    Sub-f32 inputs compute in f32 (mirroring jax.nn.gelu); f32 and wider
+    stay in their own dtype so an x64 run keeps full precision."""
+    xf = x.astype(jnp.float32) if jnp.dtype(x.dtype).itemsize < 4 else x
     return (0.5 * xf * (1.0 + jax.lax.erf(xf * _INV_SQRT2))).astype(x.dtype)

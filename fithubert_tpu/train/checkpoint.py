@@ -47,9 +47,15 @@ class CheckpointManager:
         # tests/test_multihost.py). A per-manager key prefix derived from
         # the directory (identical on every host, distinct per manager)
         # makes the keyspaces disjoint.
+        # NOTE: the tag must be identical on every host — derive it from the
+        # run directory's BASENAME, not its absolute path (a shared FS can be
+        # mounted at different paths per host). Two distinct run dirs sharing
+        # a basename in one jax.distributed session would still collide, but
+        # that merely reverts those two to the pre-fix status quo.
         def _mp_opts(sub: str):
             tag = hashlib.md5(
-                os.path.join(directory, sub).encode()).hexdigest()[:10]
+                os.path.join(os.path.basename(directory), sub).encode()
+            ).hexdigest()[:10]
             return ocp.options.MultiprocessingOptions(
                 barrier_sync_key_prefix=f"{sub}_{tag}")
 

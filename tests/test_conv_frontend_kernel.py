@@ -217,7 +217,10 @@ def test_gn_prefix_custom_vjp_matches_autodiff(dtype, valid_len):
         x32 = x_.astype(jnp.float32)
         stats = x32 if valid_len is None else x32[:, :valid_len]
         mean = jnp.mean(stats, axis=1, keepdims=True)
-        var = jnp.var(stats, axis=1, keepdims=True)
+        # same one-pass moments as _gn_prefix_fwd: the test pins the custom
+        # BACKWARD against autodiff of the identical forward math
+        var = jnp.maximum(jnp.mean(stats * stats, axis=1, keepdims=True)
+                          - mean * mean, 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * ga + be
         approx = jnp.dtype(dtype) != jnp.float32
         return jax.nn.gelu(y, approximate=approx).astype(x_.dtype)
