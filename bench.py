@@ -366,27 +366,35 @@ def apply_integrity_checks(fwd_line, fwd, train_line, peak, kind, full_geom):
             )
 
 
-def _error_line(msg: str) -> dict:
+def _error_line(msg: str, metric: str = "kd_train_step_steps_per_sec") -> dict:
     """The headline metric's shape with value=null and a machine-readable
     error — what the driver records when the backend cannot be reached
     (instead of the raw-traceback/`parsed: null` of BENCH_r03)."""
-    return {
-        "metric": "kd_train_step_steps_per_sec",
+    line = {
+        "metric": metric,
         "value": None,
-        "unit": "steps/sec (fithubert.yaml geometry)",
         "vs_baseline": None,
         "untrusted": True,
         "error": msg,
     }
+    if metric == "kd_train_step_steps_per_sec":
+        line["unit"] = "steps/sec (fithubert.yaml geometry)"
+    return line
 
 
 _ATTEMPT_ENV = "FITHUBERT_BENCH_ATTEMPT"
 
 
-def _reexec_or_die(msg: str, attempts: int, retry_delay: float) -> None:
+def _reexec_or_die(msg: str, attempts: int, retry_delay: float,
+                   metric: str = "kd_train_step_steps_per_sec") -> None:
     """Retry backend init by re-exec (jax caches a FAILED backend init for
     the life of the process, so an in-process retry can never succeed), or
-    print the structured error line and exit 0 on the last attempt."""
+    print the structured error line and exit 0 on the last attempt.
+
+    Re-execs sys.argv[0] — NOT this file — so callers that import bench for
+    _acquire_backend (scripts/int8_ab.py) relaunch themselves instead of a
+    full bench run under their own argv, and their soft-fail line carries
+    their own metric name."""
     attempt = int(os.environ.get(_ATTEMPT_ENV, "1"))
     if attempt < attempts:
         print(
@@ -396,16 +404,18 @@ def _reexec_or_die(msg: str, attempts: int, retry_delay: float) -> None:
         )
         time.sleep(retry_delay)
         os.environ[_ATTEMPT_ENV] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
-                 + sys.argv[1:])
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(sys.argv[0])] + sys.argv[1:])
     print(json.dumps(_error_line(
-        f"backend init failed after {attempts} attempts: {msg}")), flush=True)
+        f"backend init failed after {attempts} attempts: {msg}", metric)),
+        flush=True)
     os._exit(0)
 
 
 def _acquire_backend(attempts: int | None = None,
                      retry_delay: float | None = None,
-                     init_timeout: float | None = None):
+                     init_timeout: float | None = None,
+                     metric: str = "kd_train_step_steps_per_sec"):
     """Initialize the JAX backend; never raise, never hang.
 
     Tunnel/endpoint failures are often transient (CLAUDE.md), so a failed
@@ -429,7 +439,7 @@ def _acquire_backend(attempts: int | None = None,
     def watchdog():
         if not init_done.wait(timeout=init_timeout):
             _reexec_or_die(f"backend init hung > {init_timeout:.0f}s",
-                           attempts, retry_delay)
+                           attempts, retry_delay, metric)
 
     th = threading.Thread(target=watchdog, daemon=True)
     th.start()
@@ -443,7 +453,8 @@ def _acquire_backend(attempts: int | None = None,
         platform, kind = d.platform, d.device_kind
     except Exception as e:  # noqa: BLE001 — anything here means "no backend"
         init_done.set()  # the watchdog must not race the explicit handler
-        _reexec_or_die(f"{type(e).__name__}: {e}", attempts, retry_delay)
+        _reexec_or_die(f"{type(e).__name__}: {e}", attempts, retry_delay,
+                       metric)
         raise AssertionError("unreachable")  # pragma: no cover
     finally:
         init_done.set()

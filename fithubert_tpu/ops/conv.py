@@ -111,7 +111,9 @@ class Conv1D(nn.Module):
             # tap j >= s row f+1 (same trick as the pallas stack).
             b, t_in, _ = x.shape
             k, s = self.kernel_size, self.stride
-            t_out = (t_in - k) // s + 1
+            # clamp: floor-div goes negative for t_in < k; lax.conv's VALID
+            # contract is an explicit 0-frame output there
+            t_out = max(0, (t_in - k) // s + 1)
             need = (t_out + 1) * s
             xx = x if t_in >= need else jnp.pad(
                 x, ((0, 0), (0, need - t_in), (0, 0)))

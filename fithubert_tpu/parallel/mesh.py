@@ -51,6 +51,11 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(q_proj|k_proj|v_proj|fc1|w_1|proj_head_in)/kernel$", P(None, "model")),
     (r".*(out_proj|fc2|w_2)/kernel$", P("model", None)),
     (r".*(q_proj|k_proj|v_proj|fc1|w_1|proj_head_in)/bias$", P("model")),
+    # pre-quantized int8 kernels carry a per-output-channel fp32 scale
+    # (ops/quant.py prequantize_dense_kernels): column-parallel layers shard
+    # it with their output dim; row-parallel scales stay replicated (their
+    # output dim is unsharded), covered by the default P() fallthrough.
+    (r".*(q_proj|k_proj|v_proj|fc1|w_1|proj_head_in)/kernel_scale$", P("model")),
 )
 
 

@@ -136,20 +136,31 @@ class Distiller:
         (ops/norms.py, ops/conv.py:PositionalConv), so pre-quantizing them
         would change numerics for no measurable byte savings."""
         dt = jnp.dtype(self.teacher_geometry.compute_dtype)
-        if dt == jnp.float32:
-            return teacher_params
-        keep_fp32 = ("pos_conv", "layer_norm", "group_norm", "batch_norm",
-                     "norm", "weight_g", "weight_v")
+        if dt != jnp.float32:
+            keep_fp32 = ("pos_conv", "layer_norm", "group_norm", "batch_norm",
+                         "norm", "weight_g", "weight_v")
 
-        def cast(path, leaf):
-            names = [str(getattr(k, "key", k)) for k in path]
-            if leaf.dtype != jnp.float32 or any(
-                s in n for n in names for s in keep_fp32
-            ):
-                return leaf
-            return leaf.astype(dt)
+            def cast(path, leaf):
+                names = [str(getattr(k, "key", k)) for k in path]
+                if leaf.dtype != jnp.float32 or any(
+                    s in n for n in names for s in keep_fp32
+                ):
+                    return leaf
+                return leaf.astype(dt)
 
-        return jax.tree_util.tree_map_with_path(cast, teacher_params)
+            teacher_params = jax.tree_util.tree_map_with_path(
+                cast, teacher_params
+            )
+        if self.teacher_geometry.quantize_int8:
+            # quantize the frozen Dense kernels ONCE here instead of per
+            # matmul call per step (the r4 A/B's 1.012x was dominated by
+            # the per-step amax/round over ~95M frozen weights, VERDICT r4
+            # weak #1). Quantizing AFTER the bf16 cast keeps the int8
+            # payload bit-identical to what the dynamic path computed.
+            from fithubert_tpu.ops.quant import prequantize_dense_kernels
+
+            teacher_params = prequantize_dense_kernels(teacher_params)
+        return teacher_params
 
     def shard_teacher(self, teacher_params):
         teacher_params = self.prepare_teacher_params(teacher_params)

@@ -2,6 +2,11 @@
 """On-chip A/B of the int8 teacher (`teacher.quantize_int8`, ops/quant.py).
 
 VERDICT r3 #2: the int8 path had never executed on its target hardware.
+As of round 5 the teacher's Dense kernels are PRE-quantized once in
+prepare_teacher_params (int8 leaves + per-channel fp32 scales; only
+activations quantize per step) — the r4 capture of this script (1.012x,
+artifacts/int8_ab_v5e_2026-08-19.json) ran with per-step dynamic weight
+quantization over ~95M frozen weights (VERDICT r4 weak #1).
 This script measures, on the real chip, at the fithubert.yaml config of
 record (batch 3 x accum 4, 12 s utterances, bf16 compute):
 
@@ -72,7 +77,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    platform, kind = bench._acquire_backend()
+    platform, kind = bench._acquire_backend(metric="int8_teacher_ab")
     quick = "--quick" in sys.argv
     if platform == "cpu" and not quick:
         print(json.dumps({"error": "int8 A/B targets the TPU; pass --quick "

@@ -114,6 +114,7 @@ def test_smoke_geometry_skips_cross_check():
 
 import json
 import os
+import sys
 
 import pytest
 
@@ -161,8 +162,27 @@ def test_reexec_or_die_with_attempts_left_reexecs(monkeypatch):
         bench._reexec_or_die("transient", attempts=3, retry_delay=45.0)
     assert len(calls) == 1
     exe, argv = calls[0]
-    assert argv[1].endswith("bench.py")
+    # re-execs the INVOKING script (sys.argv[0]), not bench.py: importers of
+    # bench (scripts/int8_ab.py) must relaunch themselves, not a bench run
+    # under their own argv (ADVICE r4)
+    assert argv[1] == os.path.abspath(sys.argv[0])
     assert os.environ[bench._ATTEMPT_ENV] == "2"
+
+
+def test_reexec_or_die_carries_callers_metric(monkeypatch, capsys):
+    """Importers pass their own metric name; the soft-fail line must carry
+    it (not bench's headline metric) so recorded artifacts stay labeled
+    correctly (ADVICE r4)."""
+    monkeypatch.setenv(bench._ATTEMPT_ENV, "2")
+    exits = []
+    monkeypatch.setattr(os, "_exit", lambda code: exits.append(code))
+    bench._reexec_or_die("boom", attempts=2, retry_delay=0.0,
+                         metric="int8_teacher_ab")
+    assert exits == [0]
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["metric"] == "int8_teacher_ab"
+    assert line["value"] is None and line["untrusted"] is True
+    assert "unit" not in line  # the steps/sec unit belongs to the headline
 
 
 def test_acquire_backend_failure_soft_exits_with_json(monkeypatch, capsys):

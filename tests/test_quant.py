@@ -274,3 +274,95 @@ def test_student_quantize_matmuls_rejected_for_training():
     )
     with pytest.raises(ValueError, match="quantize_matmuls"):
         Distiller(cfg, num_training_steps=10)
+
+
+def test_prequant_dense_matches_dynamic_bitexact():
+    """A pre-quantized tree (int8 kernel + kernel_scale) through QuantDense
+    must reproduce the dynamic path bit-for-bit: prequantize quantizes from
+    the same leaves with the same fp32 math."""
+    from fithubert_tpu.ops.quant import prequantize_dense_kernels
+
+    qdense = QuantDense(48, param_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 7, 32))
+    variables = qdense.init(jax.random.PRNGKey(0), x)
+    y_dyn = qdense.apply(variables, x)
+    pre = prequantize_dense_kernels(variables)
+    k = pre["params"]["kernel"]
+    assert k.dtype == jnp.int8 and k.shape == (32, 48)
+    assert pre["params"]["kernel_scale"].shape == (48,)
+    assert pre["params"]["kernel_scale"].dtype == jnp.float32
+    y_pre = qdense.apply(pre, x)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+
+
+def test_prequantize_skips_excluded_and_nondense():
+    """ctc_proj (full-precision by design) and conv kernels (3-D) must pass
+    through untouched; idempotent on an already-quantized tree."""
+    from fithubert_tpu.ops.quant import prequantize_dense_kernels
+
+    tree = {
+        "encoder": {"fc1": {"kernel": jnp.ones((8, 16)), "bias": jnp.ones(16)}},
+        "ctc_proj": {"kernel": jnp.ones((8, 32))},
+        "conv": {"kernel": jnp.ones((3, 4, 8))},
+    }
+    out = prequantize_dense_kernels(tree)
+    assert out["encoder"]["fc1"]["kernel"].dtype == jnp.int8
+    assert "kernel_scale" in out["encoder"]["fc1"]
+    assert out["ctc_proj"]["kernel"].dtype == jnp.float32
+    assert "kernel_scale" not in out["ctc_proj"]
+    assert out["conv"]["kernel"].dtype == jnp.float32
+    again = prequantize_dense_kernels(out)
+    assert jax.tree.structure(again) == jax.tree.structure(out)
+
+
+def test_prepare_teacher_params_prequantizes_once():
+    """Distiller.prepare_teacher_params with teacher.quantize_int8 emits int8
+    kernel leaves + fp32 per-channel scales, and the teacher forward on that
+    tree matches the dynamic-quant forward bit-for-bit (same bf16-cast
+    source values, same quantization math)."""
+    from fithubert_tpu.train.step import Distiller
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, teacher=dataclasses.replace(cfg.teacher, quantize_int8=True)
+    )
+    geom = dataclasses.replace(
+        tiny_teacher_geometry(), quantize_int8=True, compute_dtype="bfloat16"
+    )
+    d = Distiller(cfg, num_training_steps=10, teacher_geometry=geom)
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(jax.random.PRNGKey(2), (2, 4000)) * 0.1
+    mask = jnp.zeros(wav.shape, dtype=bool)
+    raw = d.init_teacher_params(rng, wav)
+    prepared = d.prepare_teacher_params(raw)
+
+    kinds = {
+        l.dtype for l in jax.tree.leaves(prepared)
+        if getattr(l, "ndim", 0) == 2
+    }
+    assert jnp.dtype(jnp.int8) in kinds, "no Dense kernel was pre-quantized"
+    n_scales = sum(
+        1 for p, _ in jax.tree_util.tree_flatten_with_path(prepared)[0]
+        if "kernel_scale" in str(p[-1])
+    )
+    assert n_scales > 0
+
+    # dynamic arm: same bf16 cast, but kernels left un-quantized
+    dyn = dataclasses.replace(d.teacher_geometry, quantize_int8=True)
+    cast_only = Distiller(
+        dataclasses.replace(
+            cfg, teacher=dataclasses.replace(cfg.teacher, quantize_int8=False)
+        ),
+        num_training_steps=10,
+        teacher_geometry=dataclasses.replace(geom, quantize_int8=False),
+    ).prepare_teacher_params(raw)
+
+    out_pre = d.teacher.apply(prepared, wav, mask)
+    out_dyn = TeacherModel(geometry=dyn).apply(cast_only, wav, mask)
+    # The int8 payloads and fp32 scales are identical; the only remaining
+    # freedom is XLA reassociating acc*x_scale*w_scale inside fusions, which
+    # moves a handful of bf16 outputs by 1 ulp (measured 6/4704 elements).
+    a = np.asarray(out_pre.x, np.float32)
+    b = np.asarray(out_dyn.x, np.float32)
+    np.testing.assert_allclose(a, b, rtol=8e-3)
+    assert (a == b).mean() > 0.99, "more than 1%% of outputs moved"
