@@ -82,6 +82,80 @@ def build():
     return d, tp, state, wav, mask
 
 
+def build_conformer():
+    """Tiny conformer (espnet rel_pos) student — pins the r4 quirk-heavy
+    path: rel_shift, macaron FFN halves, row-masked BatchNorm
+    (reference modules/module.py:386-469 via fairseq conformer layers)."""
+    from fithubert_tpu.config import StudentConfig
+    from fithubert_tpu.models import StudentModel
+
+    cfg = StudentConfig(
+        conv_feature_layers=((16, 10, 5), (32, 8, 4)),
+        conv_pos=16, conv_pos_groups=4,
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, layer_type="conformer",
+        pos_enc_type="rel_pos", attn_type="espnet", depthwise_conv_kernel_size=7,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        encoder_layerdrop=0.0, dropout_input=0.0,
+        pred_head_final_dim=32, pred_layer_id=(1,), layerwise_proj=True,
+        enable_tr_layer=False, required_seq_len_multiple=1,
+        use_pallas_attention=False, use_pallas_conv=False,
+    )
+    model = StudentModel(cfg=cfg)
+    np_rng = np.random.default_rng(21)
+    wav = jnp.asarray(np_rng.standard_normal((2, 4000)) * 0.1, jnp.float32)
+    mask = jnp.zeros((2, 4000), bool).at[1, 3200:].set(True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3)}, wav, mask)
+    return model, variables, wav, mask
+
+
+def build_ctc():
+    """Tiny wav2vec_ctc distillation — pins the sequence-transduction path:
+    teacher ctc_proj -> argmax pseudo-labels -> collapse_pseudo_labels ->
+    optax CTC in the fused step (reference train.py:380-403, the path that
+    CRASHES in the reference; SURVEY §4)."""
+    from fithubert_tpu.config import (
+        ExperimentConfig, LossConfig, StudentConfig, TeacherConfig, TrainConfig,
+    )
+    from fithubert_tpu.train.step import Distiller
+
+    cfg = ExperimentConfig(
+        teacher=TeacherConfig(
+            teacher_model="", model_type="wav2vec_ctc", encoder_layers=2,
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+            encoder_attention_heads=4, vocab_size=32,
+        ),
+        train=TrainConfig(batch_size=2, accumulate_grad_batches=1),
+        loss=LossConfig(
+            rec_loss_weight=1.0, rec_loss_type="l1", sim_loss_weight=0.0,
+            distil_random_layer=0, ctc_loss_weight=1.0,
+            use_gt_for_ctc=False,  # pseudo-label path: collapse included
+        ),
+        distiller=StudentConfig(
+            conv_feature_layers=((16, 10, 5), (32, 8, 4), (32, 4, 4), (32, 4, 4)),
+            conv_pos=16, conv_pos_groups=4,
+            encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+            encoder_attention_heads=4, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0,
+            pred_head_final_dim=32, pred_layer_id=(1,), layerwise_proj=True,
+            enable_tr_layer=True, tr_layer_type="conv1d", tr_layer_index=0,
+            tr_reduce_factor=2, required_seq_len_multiple=1,
+            use_pallas_attention=False, use_pallas_conv=False,
+            teacher_task_agnostic=False,
+        ),
+    )
+    d = Distiller(cfg, num_training_steps=8)
+    np_rng = np.random.default_rng(11)
+    wav = jnp.asarray(np_rng.standard_normal((2, 6400)) * 0.1, jnp.float32)
+    mask = jnp.zeros((2, 6400), bool)
+    mask = mask.at[1, 4800:].set(True)
+    rng = jax.random.PRNGKey(5)
+    tp = d.init_teacher_params(rng, wav)
+    state = d.init_state(jax.random.fold_in(rng, 1), wav)
+    return d, tp, state, wav, mask
+
+
 def main():
     d, tp, state, wav, mask = build()
     os.makedirs(OUT, exist_ok=True)
@@ -120,6 +194,31 @@ def main():
         grad_norm=np.float32(logs["grad_norm"]),
         param_probe=param_probe,
     )
+    # ---- conformer (rel_pos) forward ----------------------------------------
+    cmodel, cvars, cwav, cmask = build_conformer()
+    c_out = cmodel.apply(cvars, cwav, cmask, deterministic=True,
+                         need_taps=False)
+    np.savez(
+        os.path.join(OUT, "conformer_fwd.npz"),
+        x=np.asarray(c_out.x, np.float32),
+        proj=np.asarray(c_out.projections, np.float32),
+    )
+
+    # ---- CTC (pseudo-label) train step --------------------------------------
+    dc, tpc, statec, wavc, maskc = build_ctc()
+    batch_c = {"x": wavc[None], "padding_mask": maskc[None]}
+    new_state_c, logs_c = dc.make_train_step()(
+        statec, tpc, batch_c, jnp.zeros((0,), jnp.int32), jax.random.PRNGKey(9))
+    leaves_c = jax.tree_util.tree_leaves(new_state_c.params)
+    np.savez(
+        os.path.join(OUT, "ctc_step.npz"),
+        loss=np.float32(logs_c["loss"]),
+        ctc_loss=np.float32(logs_c["ctc_loss"]),
+        grad_norm=np.float32(logs_c["grad_norm"]),
+        param_probe=np.asarray(
+            [float(jnp.ravel(l)[0]) for l in leaves_c], np.float32),
+    )
+
     print(f"goldens written to {OUT}")
     for f in sorted(os.listdir(OUT)):
         print(" ", f, os.path.getsize(os.path.join(OUT, f)), "bytes")

@@ -74,3 +74,44 @@ def test_train_step_matches_golden(built):
     leaves = jax.tree_util.tree_leaves(new_state.params)
     probe = np.asarray([float(jnp.ravel(l)[0]) for l in leaves], np.float32)
     np.testing.assert_allclose(probe, g["param_probe"], rtol=1e-3, atol=1e-6)
+
+
+def test_conformer_forward_matches_golden():
+    """rel_pos conformer pin (VERDICT r4 #8): rel_shift, macaron halves and
+    the row-masked BatchNorm drift-checked without torch."""
+    from scripts.make_goldens import build_conformer
+
+    model, variables, wav, mask = build_conformer()
+    g = np.load(os.path.join(GOLD, "conformer_fwd.npz"))
+    out = model.apply(variables, wav, mask, deterministic=True,
+                      need_taps=False)
+    np.testing.assert_allclose(
+        np.asarray(out.x, np.float32), g["x"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(out.projections, np.float32), g["proj"],
+        rtol=RTOL, atol=ATOL)
+
+
+def test_ctc_step_matches_golden():
+    """wav2vec_ctc pseudo-label train step pin (VERDICT r4 #8): teacher
+    ctc_proj -> argmax -> collapse_pseudo_labels -> optax CTC, the sequence
+    path the reference crashes on (SURVEY §4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scripts.make_goldens import build_ctc
+
+    d, tp, state, wav, mask = build_ctc()
+    g = np.load(os.path.join(GOLD, "ctc_step.npz"))
+    batch = {"x": wav[None], "padding_mask": mask[None]}
+    new_state, logs = d.make_train_step()(
+        state, tp, batch, jnp.zeros((0,), jnp.int32), jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        np.float32(logs["loss"]), g["loss"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.float32(logs["ctc_loss"]), g["ctc_loss"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.float32(logs["grad_norm"]), g["grad_norm"], rtol=1e-3, atol=ATOL)
+    leaves = jax.tree_util.tree_leaves(new_state.params)
+    probe = np.asarray([float(jnp.ravel(l)[0]) for l in leaves], np.float32)
+    np.testing.assert_allclose(probe, g["param_probe"], rtol=1e-3, atol=1e-6)
