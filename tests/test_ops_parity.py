@@ -408,3 +408,55 @@ def test_gelu_exact_matches_jax_and_torch(np_rng):
     g_jax = np.asarray(jax.grad(
         lambda v: jax.nn.gelu(v, approximate=False).sum())(jnp.asarray(x)))
     np.testing.assert_allclose(g_ours, g_jax, rtol=1e-4, atol=1e-5)
+
+
+def test_fp32_layer_norm_custom_vjp_matches_autodiff():
+    """The hand-written LN backward (VERDICT r4 #2) must match plain
+    autodiff of the same forward math — for dx, dscale, dbias, affine and
+    non-affine, f32 and bf16 inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fithubert_tpu.ops.norms import _ln_forward_math, _fp32_layer_norm
+
+    rng = np.random.default_rng(3)
+    for dtype, tol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+        x = jnp.asarray(rng.standard_normal((4, 37, 64)), dtype)
+        scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(64), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.standard_normal(64), jnp.float32)
+        dy = jnp.asarray(rng.standard_normal((4, 37, 64)), dtype)
+
+        def loss_ref(x, s, b):
+            y, _, _ = _ln_forward_math(x, s, b, 1e-5)
+            return jnp.sum(y.astype(jnp.float32) * dy.astype(jnp.float32))
+
+        def loss_custom(x, s, b):
+            y = _fp32_layer_norm(x, s, b, 1e-5)
+            return jnp.sum(y.astype(jnp.float32) * dy.astype(jnp.float32))
+
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+        got = jax.grad(loss_custom, argnums=(0, 1, 2))(x, scale, bias)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(w, np.float32),
+                rtol=tol, atol=tol)
+
+        # non-affine variant (conv extractor layer_norm mode)
+        def loss_ref_na(x):
+            y, _, _ = _ln_forward_math(x, None, None, 1e-5)
+            return jnp.sum(y.astype(jnp.float32) * dy.astype(jnp.float32))
+
+        def loss_custom_na(x):
+            return jnp.sum(
+                _fp32_layer_norm(x, None, None, 1e-5).astype(jnp.float32)
+                * dy.astype(jnp.float32))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_custom_na)(x), np.float32),
+            np.asarray(jax.grad(loss_ref_na)(x), np.float32),
+            rtol=tol, atol=tol)
+
+        # forward bit-identity with the pre-VJP implementation
+        y_ref, _, _ = _ln_forward_math(x, scale, bias, 1e-5)
+        y_new = _fp32_layer_norm(x, scale, bias, 1e-5)
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
