@@ -353,6 +353,8 @@ def run_ctc_probe(expert, n_utts: int = 60, steps: int = 6000,
     (CER > 1 with repetition soup), so the assertion is the GAP."""
     wavs, texts = make_spoken_dataset(n_utts, seed=seed)
     seqs = extract_sequences(expert, wavs, layer)
+    # tiny smoke runs: keep at least half the utterances for training
+    n_eval = min(n_eval, max(1, n_utts // 2))
     tr_s, tr_t = seqs[:-n_eval], texts[:-n_eval]
     ev_s, ev_t = seqs[-n_eval:], texts[-n_eval:]
     loss, probe_cer = train_ctc_probe(
