@@ -319,12 +319,30 @@ def _fused_fwd(x, weights, spec, f_tile, interpret, valid_len):
     return out, (x, tuple(weights))
 
 
+def _pallas_bwd_enabled() -> bool:
+    """Gate for the Pallas backward kernel (VERDICT r4 #3). The XLA-vjp
+    backward remains the oracle and the fallback; FITHUBERT_CONV_BWD=xla
+    forces it (A/B measurements, debugging)."""
+    import os
+
+    return os.environ.get("FITHUBERT_CONV_BWD", "pallas").lower() != "xla"
+
+
 def _fused_bwd(spec, f_tile, interpret, valid_len, res, g):
     x, weights = res
-    # NOTE: a matmul-tap-decomposition VJP (_matmul_stack) was tried here and
-    # measured 2x SLOWER than XLA's native conv VJPs on v5e (31.7 ms vs
-    # 16.3 ms for the student spec at B=12 x 12 s) — XLA's conv transpose
-    # kernels beat the pad/slice adjoint chain. Keep the conv-based oracle.
+    # NOTE: a matmul-tap-decomposition VJP in XLA (_matmul_stack) was tried
+    # here and measured 2x SLOWER than XLA's native conv VJPs on v5e (31.7 ms
+    # vs 16.3 ms for the student spec at B=12 x 12 s) — XLA's conv transpose
+    # kernels beat the pad/slice adjoint chain. The PALLAS backward
+    # (conv_frontend_bwd) recomputes + backprops whole tiles in VMEM instead.
+    if _pallas_bwd_enabled():
+        from fithubert_tpu.ops.pallas.conv_frontend_bwd import pallas_stack_bwd
+
+        da0, dws = pallas_stack_bwd(
+            x, list(weights), g, spec, f_tile, interpret,
+            valid_len=valid_len)
+        return da0.astype(x.dtype), tuple(
+            dw.astype(w.dtype) for dw, w in zip(dws, weights))
     _, vjp = jax.vjp(
         lambda x_, ws: _reference_stack(x_, ws, spec, valid_len=valid_len),
         x, weights)
@@ -398,6 +416,24 @@ def _fused_gn_fwd(x, weights, gamma, beta, spec, f_tile, interpret,
 
 def _fused_gn_bwd(spec, f_tile, interpret, valid_len, res, g):
     x, weights, gamma, beta = res
+    if _pallas_bwd_enabled():
+        from fithubert_tpu.ops.pallas.conv_frontend_bwd import pallas_stack_bwd
+
+        # split the chain at a0 = gelu(gn(x)): the conv stack backward runs
+        # in the pallas kernel; the GN+GELU prefix backward is the existing
+        # hand-written _gn_prefix VJP in XLA. a0 is materialized once
+        # (~120 MB bf16 at the student shape, ~0.3 ms round trip) — far
+        # cheaper than the full-stack XLA recompute this replaces.
+        a0, prefix_vjp = jax.vjp(
+            lambda x_, ga, be: _gn_prefix(x_, ga, be, 1e-5, valid_len),
+            x, gamma, beta)
+        da0, dws = pallas_stack_bwd(
+            a0, list(weights), g, spec, f_tile, interpret,
+            valid_len=valid_len)
+        dx, dgamma, dbeta = prefix_vjp(da0.astype(a0.dtype))
+        return dx, tuple(
+            dw.astype(w.dtype) for dw, w in zip(dws, weights)
+        ), dgamma, dbeta
     _, vjp = jax.vjp(
         lambda x_, ws, ga, be: _reference_stack(x_, ws, spec, ga, be,
                                                 valid_len=valid_len),
