@@ -87,6 +87,11 @@ class FP32LayerNorm(nn.Module):
             dim = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        import os
+
+        if os.environ.get("FITHUBERT_LN_VJP", "custom").lower() == "autodiff":
+            # A/B escape hatch: plain autodiff of the same forward math
+            return _ln_forward_math(x, scale, bias, self.epsilon)[0]
         return _fp32_layer_norm(x, scale, bias, self.epsilon)
 
 

@@ -320,12 +320,19 @@ def _fused_fwd(x, weights, spec, f_tile, interpret, valid_len):
 
 
 def _pallas_bwd_enabled() -> bool:
-    """Gate for the Pallas backward kernel (VERDICT r4 #3). The XLA-vjp
-    backward remains the oracle and the fallback; FITHUBERT_CONV_BWD=xla
-    forces it (A/B measurements, debugging)."""
+    """Gate for the Pallas backward kernel (VERDICT r4 #3) — MEASURED
+    NEGATIVE on v5e, default OFF. On-chip grads match the oracle (dx 0.006 /
+    dw 0.008 rel, bf16 release spec), but solo fwd+grad at the student shape
+    is 13.6 ms (kernel) vs 8.9 ms (XLA), and in-step the full KD bench drops
+    14.20 -> 13.00 steps/s (-8.5%): XLA's conv-transpose/dw kernels
+    parallelize the whole (B, T) while the tile kernel serializes a 16-layer
+    up+down chain of small matmuls per program; batching the per-tap matmuls
+    into two wide ones made it WORSE (17.3 ms — the mid-dim slice+reshape
+    relayouts cost more than the fusion saves). FITHUBERT_CONV_BWD=pallas
+    opts in (capacity/experiments); the kernel stays grad-parity-tested."""
     import os
 
-    return os.environ.get("FITHUBERT_CONV_BWD", "pallas").lower() != "xla"
+    return os.environ.get("FITHUBERT_CONV_BWD", "xla").lower() == "pallas"
 
 
 def _fused_bwd(spec, f_tile, interpret, valid_len, res, g):
