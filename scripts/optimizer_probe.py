@@ -85,12 +85,20 @@ def main():
             per_step.append((ts[k2] - ts[k1]) / (k2 - k1))
         out[f"ms_per_update_{tag}"] = round(min(per_step) * 1000, 3)
 
+    # grads must VARY per iteration or XLA constant-folds the g-dependent
+    # terms out of the loop (a first cut with loop-invariant grads measured
+    # 0.397 ms — below the HBM floor). Deriving them from p costs no extra
+    # HBM traffic (p is read anyway) and changes every iteration.
+    def grads_of(p_tree, i):
+        scale = 1e-6 + 1e-9 * i.astype(jnp.float32)
+        return jax.tree.map(lambda p: p * scale + 1e-4, p_tree)
+
     # a. the real tree update ------------------------------------------------
     opt_state = tx.init(params)
 
     def tree_body(i, carry):
         p, s = carry
-        u, s = tx.update(grads, s, p)
+        u, s = tx.update(grads_of(p, i), s, p)
         return (optax.apply_updates(p, u), s)
 
     measure(tree_body, (params, opt_state), "tree")
@@ -98,24 +106,26 @@ def main():
     # b. + global_norm (the step's logging term) -----------------------------
     def tree_gn_body(i, carry):
         p, s, acc = carry
-        u, s = tx.update(grads, s, p)
-        return (optax.apply_updates(p, u), s, acc + optax.global_norm(grads))
+        g = grads_of(p, i)
+        u, s = tx.update(g, s, p)
+        return (optax.apply_updates(p, u), s, acc + optax.global_norm(g))
 
     measure(tree_gn_body, (params, opt_state, jnp.zeros(())), "tree_gnorm")
 
     # c. single-leaf control: same bytes, one fusion -------------------------
     flat = jnp.zeros((n_params,), jnp.float32) + 1e-3
-    gflat = jnp.full((n_params,), 1e-4, jnp.float32)
     s_flat = tx.init(flat)
 
     def flat_body(i, carry):
         p, s = carry
-        u, s = tx.update(gflat, s, p)
+        g = p * (1e-6 + 1e-9 * i.astype(jnp.float32)) + 1e-4
+        u, s = tx.update(g, s, p)
         return (optax.apply_updates(p, u), s)
 
     measure(flat_body, (flat, s_flat), "flat")
 
-    floor_ms = (n_params * 4 * 7) / 819e9 * 1000  # 4 reads + 3 writes, f32
+    # read p/m/v + write p/m/v (g is derived in-register from p here)
+    floor_ms = (n_params * 4 * 6) / 819e9 * 1000
     out["hbm_floor_ms"] = round(floor_ms, 3)
     out["per_leaf_overhead_ms"] = round(
         out["ms_per_update_tree"] - out["ms_per_update_flat"], 3)
