@@ -46,6 +46,11 @@ def capture(args) -> None:
 
     if jax.devices()[0].platform != "tpu":
         sys.exit("capture needs the real TPU; use --parse-only off-chip")
+    # Warm the fetch path first with a generous budget — the FIRST fetch
+    # after backend init takes minutes over a cold tunnel (bench.py does the
+    # same; without it a purely transient cold start fails the health probe)
+    probe_fetch(timeout=float(os.environ.get(
+        "FITHUBERT_BENCH_WARM_TIMEOUT", "600")))
     if not probe_fetch(timeout=60.0):
         sys.exit("device->host fetch probe failed; refusing to trace "
                  "(the tunnel is wedged — results would be untimeable)")
