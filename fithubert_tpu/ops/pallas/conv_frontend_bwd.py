@@ -32,10 +32,11 @@ stays resident in VMEM). The f32 dw accumulators (~12 MB for the student
 spec) push the kernel past the default 16 MB scoped-VMEM budget, so the
 call raises `vmem_limit_bytes` explicitly.
 
-The GroupNorm+GELU prefix (fused_conv_stack_gn) stays OUTSIDE: the kernel
-recomputes a0 = gelu(x*scale + shift) from the folded affine like the
-forward does (no a0 materialization in HBM), returns d(a0), and the caller
-backprops the prefix through the existing `_gn_prefix` custom VJP in XLA.
+The GroupNorm+GELU prefix (fused_conv_stack_gn) stays OUTSIDE: the caller
+(_fused_gn_bwd) materializes a0 = gelu(gn(x)) once via the existing
+`_gn_prefix` custom VJP (~120 MB bf16 at the student shape, ~0.3 ms round
+trip), this kernel consumes a0 directly and returns d(a0), and the caller
+backprops the prefix in XLA.
 
 Gradient-parity oracle: `jax.vjp` of `_reference_stack` (the previous
 backward), tested in interpret mode on CPU and on-chip.
@@ -43,7 +44,6 @@ backward), tested in interpret mode on CPU and on-chip.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
@@ -153,15 +153,11 @@ def _layer_bwd(a, dz, kernel, k: int, s: int, f_out: int, span_in: int):
 
 
 def _make_bwd_kernel(spec: Spec, f_tile: int, span: int, span_pad0: int,
-                     c0: int, with_norm: bool):
+                     c0: int):
     n_layers = len(spec)
 
     def kernel(x_hbm, *args):
-        # args layout:
-        #   [scale, shift,] g, *weights, dwin, *dw_outs, x_vmem, sem
-        if with_norm:
-            scale_ref, shift_ref = args[0], args[1]
-            args = args[2:]
+        # args layout: g, *weights, dwin, *dw_outs, x_vmem, sem
         g_ref = args[0]
         weight_refs = args[1 : 1 + n_layers]
         dwin_ref = args[1 + n_layers]
@@ -199,8 +195,6 @@ def _make_bwd_kernel(spec: Spec, f_tile: int, span: int, span_pad0: int,
 
         # ---- up pass: recompute a_i (layer inputs) and z_i ---------------
         x = x_vmem[slot].astype(jnp.float32)
-        if with_norm:
-            x = gelu(x * scale_ref[0, 0, :] + shift_ref[0, 0, :])
         # layer-to-layer values round through the compute dtype, exactly
         # like the XLA recompute chain the previous backward used
         a_store = [x.astype(store_dtype)]
@@ -249,15 +243,13 @@ def _make_bwd_kernel(spec: Spec, f_tile: int, span: int, span_pad0: int,
 
 def pallas_stack_bwd(x, weights: Sequence[jnp.ndarray], g, spec: Spec,
                      f_tile: int, interpret: bool = False,
-                     scale=None, shift=None, valid_len: Optional[int] = None):
+                     valid_len: Optional[int] = None):
     """Full-stack backward. x/weights as given to the forward pallas call
-    (x possibly pre-padded; weights in the compute dtype); g the cotangent
-    of the CROPPED forward output (B, t_out, c_last).
+    (x possibly pre-padded; weights in the compute dtype; for the GN-prefixed
+    variant x is the materialized a0 — see the module docstring); g the
+    cotangent of the CROPPED forward output (B, t_out, c_last).
 
-    Returns (da0 (B, T0, C0) f32, dws tuple of f32 (k, C_in, C_out)).
-    da0 is the grad wrt the kernel-input activation (post-prefix when
-    scale/shift are given — the caller backprops the GN prefix)."""
-    with_norm = scale is not None
+    Returns (da0 (B, T0, C0) f32, dws tuple of f32 (k, C_in, C_out))."""
     b, t0, c0 = x.shape
     t_out = _out_len(t0 if valid_len is None else valid_len, spec)
     n_tiles = pl.cdiv(t_out, f_tile)
@@ -273,14 +265,6 @@ def pallas_stack_bwd(x, weights: Sequence[jnp.ndarray], g, spec: Spec,
     # garbage frames, so their cotangent is exactly zero
     if g.shape[1] < n_tiles * f_tile:
         g = jnp.pad(g, ((0, 0), (0, n_tiles * f_tile - g.shape[1]), (0, 0)))
-
-    norm_inputs, norm_specs = (), ()
-    if with_norm:
-        norm_inputs = (scale.reshape(b, 1, c0), shift.reshape(b, 1, c0))
-        norm_specs = (
-            pl.BlockSpec((1, 1, c0), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, 1, c0), lambda i, t: (i, 0, 0)),
-        )
 
     dw_shapes = []
     c_in = c0
@@ -304,11 +288,10 @@ def pallas_stack_bwd(x, weights: Sequence[jnp.ndarray], g, spec: Spec,
     ) + (8 << 20)
 
     dwin, *dws = pl.pallas_call(
-        _make_bwd_kernel(spec, f_tile, span, span_pad0, c0, with_norm),
+        _make_bwd_kernel(spec, f_tile, span, span_pad0, c0),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            *norm_specs,
             pl.BlockSpec((1, f_tile, c_last), lambda i, t: (i, t, 0)),
             *[
                 pl.BlockSpec(w.shape, lambda i, t: (0,) * w.ndim,
@@ -334,20 +317,26 @@ def pallas_stack_bwd(x, weights: Sequence[jnp.ndarray], g, spec: Spec,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(x, *norm_inputs, g, *weights)
+    )(x, g, *weights)
 
     # ---- overlap-add of the dx windows ------------------------------------
     owned = f_tile * prod
     tail_len = span_pad0 - owned
-    assert 0 < tail_len <= owned, (span_pad0, owned)
+    assert 0 <= tail_len <= owned, (span_pad0, owned)
     main = dwin[:, :, :owned]                      # (B, nt, owned, C0)
-    tails = dwin[:, :, owned:]                     # (B, nt, tail,  C0)
-    carry = jnp.pad(tails, ((0, 0), (0, 0), (0, owned - tail_len), (0, 0)))
-    carry = jnp.pad(carry, ((0, 0), (1, 0), (0, 0), (0, 0)))  # shift 1 tile
-    summed = main + carry[:, :n_tiles]
-    da0 = jnp.concatenate(
-        [summed.reshape(b, n_tiles * owned, c0), carry[:, n_tiles]], axis=1
-    )
+    if tail_len == 0:
+        # all-k==s stacks with a 32-aligned span: windows are disjoint
+        da0 = main.reshape(b, n_tiles * owned, c0)
+    else:
+        tails = dwin[:, :, owned:]                 # (B, nt, tail,  C0)
+        carry = jnp.pad(
+            tails, ((0, 0), (0, 0), (0, owned - tail_len), (0, 0)))
+        carry = jnp.pad(carry, ((0, 0), (1, 0), (0, 0), (0, 0)))  # shift 1
+        summed = main + carry[:, :n_tiles]
+        da0 = jnp.concatenate(
+            [summed.reshape(b, n_tiles * owned, c0), carry[:, n_tiles]],
+            axis=1,
+        )
     if da0.shape[1] < t0:
         da0 = jnp.pad(da0, ((0, 0), (0, t0 - da0.shape[1]), (0, 0)))
     else:

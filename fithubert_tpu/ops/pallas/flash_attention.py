@@ -371,7 +371,12 @@ def _xla_logits_budget() -> int:
 
     Derived from the local device's HBM limit; falls back to the measured
     v5e constant (2 GiB) when memory_stats is unavailable (CPU backend,
-    interpret mode, some tunneled devices)."""
+    interpret mode, some tunneled devices). bytes_limit is the ALLOCATOR
+    limit — on a real v5e it is somewhat below the nominal 16 GiB (the
+    runtime reserves a slice) — so it is rounded UP to the next power-of-two
+    GiB first: otherwise shapes in [bytes_limit/8, 2 GiB) would silently
+    flip from the measured-faster XLA path to the kernel on the very chip
+    the constant was calibrated on."""
     try:
         stats = jax.devices()[0].memory_stats()
         hbm = int(stats["bytes_limit"]) if stats else 0
@@ -379,6 +384,8 @@ def _xla_logits_budget() -> int:
         hbm = 0
     if hbm <= 0:
         hbm = _V5E_HBM_BYTES
+    else:
+        hbm = 1 << (hbm - 1).bit_length()  # nominal HBM size
     return hbm // _XLA_LOGITS_HBM_FRACTION
 
 

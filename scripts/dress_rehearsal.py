@@ -37,7 +37,12 @@ import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-STEP_RE = re.compile(r"\[train\] step=(\d+) .*?loss=([0-9.]+)")
+# '(?:.* )?loss=': loss must start a key (preceded by a space or the step
+# field) — a lazy '.*?loss=' would capture attn_loss/cnn_loss/ctc_loss,
+# which sort BEFORE 'loss' in the echo's key order, whenever those terms
+# are enabled. 'nan|inf' included so a diverged step FAILS the continuity
+# check loudly instead of being silently dropped from it.
+STEP_RE = re.compile(r"\[train\] step=(\d+) (?:.* )?loss=([0-9.]+|nan|inf)")
 RESUME_RE = re.compile(r"\[resume\] restored step (\d+)")
 
 
@@ -51,15 +56,33 @@ def _launch(cmd, log_path):
 
 
 def _pump(proc, log, on_line, timeout_s):
-    """Stream subprocess stdout to the log, invoking on_line per line."""
-    t0 = time.time()
-    for line in proc.stdout:
-        log.write(line)
-        on_line(line.rstrip("\n"))
-        if time.time() - t0 > timeout_s:
+    """Stream subprocess stdout to the log, invoking on_line per line.
+
+    The timeout is enforced by a watchdog thread that kills the subprocess:
+    a readline-side check alone never fires when the child hangs SILENTLY
+    (remote compiles print nothing for minutes, and the tunnel can wedge) —
+    killing the child unblocks the readline with EOF."""
+    import threading
+
+    timed_out = threading.Event()
+
+    def watchdog():
+        if not timed_out.wait(timeout=timeout_s):
             proc.kill()
-            raise TimeoutError(f"phase exceeded {timeout_s}s")
-    return proc.wait()
+
+    th = threading.Thread(target=watchdog, daemon=True)
+    th.start()
+    try:
+        for line in proc.stdout:
+            log.write(line)
+            on_line(line.rstrip("\n"))
+        rc = proc.wait()
+    finally:
+        timed_out.set()
+        log.close()
+    if rc != 0 and proc.returncode in (-9,):  # killed by the watchdog
+        raise TimeoutError(f"phase exceeded {timeout_s}s")
+    return rc
 
 
 def main():
@@ -78,6 +101,12 @@ def main():
     args = ap.parse_args()
 
     cfg = args.config
+    if args.cpu and cfg == ap.get_default("config"):
+        # the documented smoke fallback: a release-geometry 240-step run
+        # would blow the phase timeout mid-compile on the 1-core CPU
+        cfg = "configs/smoke.yaml"
+        if args.sigterm_after == ap.get_default("sigterm_after"):
+            args.sigterm_after = 8  # smoke trains 16 steps total
     train_cmd = [sys.executable, "train.py", "-c", cfg]
     if args.cpu:
         train_cmd += ["--platform", "cpu"]

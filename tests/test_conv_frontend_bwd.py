@@ -7,15 +7,12 @@ The oracle is `jax.vjp` of `_reference_stack` — the backward the kernel
 replaces (and still the runtime fallback under FITHUBERT_CONV_BWD=xla).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from fithubert_tpu.ops.pallas.conv_frontend import (
-    _gn_prefix,
     _out_len,
     _reference_stack,
     fused_conv_stack,
@@ -158,3 +155,54 @@ def test_bwd_release_spec_bf16():
     assert rel(da0[:, : x.shape[1]], dx_ref) < 5e-2
     for dw, dwr in zip(dws, dws_ref):
         assert rel(dw, dwr) < 5e-2
+
+
+def test_bwd_all_k_equals_s_disjoint_windows():
+    """k == s everywhere: the tile windows are disjoint (tail_len == 0) —
+    the overlap-add must degrade to a plain reshape, not crash (r5 review)."""
+    spec = ((32, 2, 2), (64, 2, 2))
+    x, ws, g, _ = _make_inputs(spec, c0=16, t=256, seed=7)
+    _, vjp = jax.vjp(
+        lambda x_, ws_: _reference_stack(x_, ws_, spec), x, tuple(ws))
+    dx_ref, dws_ref = vjp(g)
+    da0, dws = pallas_stack_bwd(x, ws, g, spec, f_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(da0[:, : x.shape[1]]),
+                               np.asarray(dx_ref), rtol=1e-4, atol=1e-5)
+    for dw, dwr in zip(dws, dws_ref):
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dwr),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gn_stack_grads_with_valid_len(monkeypatch):
+    """The COMPOSED production path (GN prefix + valid_len pre-padding +
+    pallas backward) vs the full XLA chain — the combination the training
+    step actually runs when FITHUBERT_CONV_BWD=pallas (r5 review: GN and
+    valid_len were each tested alone but never together)."""
+    c0 = 16
+    spec = SPEC_SMALL
+    valid = 150
+    t_pad = padded_input_len(valid, spec, f_tile=8)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, t_pad, c0)), jnp.float32) * 0.5
+    ws, cin = [], c0
+    for (d, k, _s) in spec:
+        ws.append(jnp.asarray(rng.standard_normal((k, cin, d)) * 0.1,
+                              jnp.float32))
+        cin = d
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c0), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c0), jnp.float32)
+    t_out = _out_len(valid, spec)
+    g = jnp.asarray(rng.standard_normal((2, t_out, spec[-1][0])), jnp.float32)
+
+    def loss(x, ws, gamma, beta):
+        out = fused_conv_stack_gn(x, tuple(ws), gamma, beta, spec, 8, True,
+                                  valid)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    monkeypatch.setenv("FITHUBERT_CONV_BWD", "xla")
+    ref = jax.grad(loss, argnums=(0, 1, 2, 3))(x, tuple(ws), gamma, beta)
+    monkeypatch.setenv("FITHUBERT_CONV_BWD", "pallas")
+    got = jax.grad(loss, argnums=(0, 1, 2, 3))(x, tuple(ws), gamma, beta)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -16,6 +16,43 @@ def test_step_regex_matches_loop_format():
     assert m and m.group(1) == "105" and m.group(2) == "0.7589"
 
 
+def test_step_regex_skips_other_loss_keys_and_catches_nan():
+    """attn/cnn/ctc_loss sort BEFORE 'loss' in the echo's key order — the
+    regex must capture the total, and a nan loss must MATCH (so the
+    continuity assert fails loudly) rather than drop the line."""
+    line = ("[train] step=10 attn_loss=0.3100 cnn_loss=0.2000 "
+            "grad_norm=1.0 loss=0.7500 total=0.7500")
+    m = dr.STEP_RE.search(line)
+    assert m and m.group(2) == "0.7500"
+    m = dr.STEP_RE.search("[train] step=11 ctc_loss=0.1 loss=nan total=nan")
+    assert m and m.group(2) == "nan"
+    import math
+
+    assert math.isnan(float(m.group(2)))
+
+
+def test_pump_kills_a_silently_hung_child():
+    """A child that prints nothing and never exits must be killed by the
+    watchdog after the phase timeout (the readline-side check alone never
+    fires on silence — the r5 review finding)."""
+    import io
+    import subprocess
+    import sys
+    import time
+
+    import pytest
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(600)"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, bufsize=1,
+    )
+    t0 = time.time()
+    with pytest.raises(TimeoutError):
+        dr._pump(proc, io.StringIO(), lambda s: None, timeout_s=2.0)
+    assert time.time() - t0 < 30
+    assert proc.returncode is not None
+
+
 def test_step_regex_ignores_val_lines_by_caller_filter():
     # the harness filters "val/" lines itself; the regex must still parse
     # plain train lines that contain no loss= field as non-matches

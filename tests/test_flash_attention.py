@@ -131,7 +131,11 @@ def test_xla_logits_budget_scales_with_hbm(monkeypatch):
         assert fa._xla_logits_budget() == want
 
     pin({"bytes_limit": 16 << 30}, 2 << 30)  # v5e: measured behavior kept
+    # bytes_limit is the ALLOCATOR limit, below nominal HBM on real chips:
+    # it must round UP to the nominal size, not shrink the budget
+    pin({"bytes_limit": (16 << 30) - (1 << 30)}, 2 << 30)
     pin({"bytes_limit": 32 << 30}, 4 << 30)  # bigger HBM -> later cutover
+    pin({"bytes_limit": (32 << 30) - (1 << 28)}, 4 << 30)
     pin({"bytes_limit": 8 << 30}, 1 << 30)   # smaller HBM -> earlier
     pin(None, 2 << 30)                       # no stats -> v5e fallback
     pin(RuntimeError("unsupported"), 2 << 30)  # raising stats -> fallback
