@@ -44,16 +44,29 @@ def padding_mask_to_lengths(mask):
     return jnp.sum(jnp.logical_not(mask), axis=-1).astype(jnp.int32)
 
 
-def reduce_padding_mask(mask, factor: int):
+def reduce_padding_mask(mask, factor: int, ceil: bool = False):
     """Time-reduce a padding mask for a TR layer of stride `factor`.
 
     Reference semantics (modules/module.py:312-316,324-328): chunk time into
     groups of `factor` (dropping a trailing partial chunk) and mark a reduced
     position as padding if ANY source position in its chunk is padding.
-    """
+
+    ceil=True keeps the trailing partial chunk (reduced over its REAL
+    positions only) — required for the fc1/fc2 TR types, whose
+    concat_channelwise zero-PADS x up to ceil(t/factor) frames
+    (modules/module.py:360-370) while the reference still floor-reduces the
+    mask: at odd T the reference hands MultiheadAttention a mask one frame
+    shorter than x and crashes (one more way the fc TR types cannot run
+    there, SURVEY §4 — they work here, so the mask must match x)."""
     if mask is None:
         return None
     b, t = mask.shape
+    if ceil and t % factor:
+        # pad with False (= real): the tail frame is padding iff all its
+        # real source positions are padding
+        pad = factor - t % factor
+        mask = jnp.pad(mask, ((0, 0), (0, pad)), constant_values=False)
+        t = mask.shape[1]
     t_out = t // factor
     return jnp.any(mask[:, : t_out * factor].reshape(b, t_out, factor), axis=-1)
 

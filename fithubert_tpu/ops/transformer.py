@@ -320,7 +320,12 @@ class TransformerEncoder(nn.Module):
                     name="tr_layer",
                 )(x)
                 tr_layer_results.append(x)
-                padding_mask = reduce_padding_mask(padding_mask, cfg.tr_reduce_factor)
+                padding_mask = reduce_padding_mask(
+                    padding_mask, cfg.tr_reduce_factor,
+                    # fc types pad x to ceil(t/f) frames (concat_channelwise);
+                    # the mask must match (see reduce_padding_mask)
+                    ceil=cfg.tr_layer_type in ("fc1", "fc2"),
+                )
                 if tgt_slot is not None and slot >= tgt_slot:
                     break
                 slot += 1

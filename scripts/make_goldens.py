@@ -156,6 +156,59 @@ def build_ctc():
     return d, tp, state, wav, mask
 
 
+def _variant_base():
+    from fithubert_tpu.config import StudentConfig
+
+    return StudentConfig(
+        conv_feature_layers=((16, 10, 5), (32, 8, 4), (32, 4, 4), (32, 4, 4)),
+        conv_pos=16, conv_pos_groups=4,
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0,
+        pred_head_final_dim=48, pred_layer_id=(1,), layerwise_proj=True,
+        enable_tr_layer=True, tr_layer_type="conv1d", tr_layer_index=0,
+        tr_reduce_factor=2, required_seq_len_multiple=1,
+        use_pallas_attention=False, use_pallas_conv=False,
+    )
+
+
+def build_mel():
+    """Mel front-end + MelSpecHead (the reference's alternative extractor,
+    modules/model.py:276-296 + module.py:664-701) — torchaudio center=False
+    HTK semantics pinned torch-free."""
+    import dataclasses
+
+    from fithubert_tpu.models import StudentModel
+
+    cfg = dataclasses.replace(
+        _variant_base(), n_mels=40, enable_log_mel=True,
+        mel_spec_head_conv_layers=((24, 5, 1), (32, 3, 1)),
+        conv_feature_layers=(),
+    )
+    model = StudentModel(cfg=cfg)
+    np_rng = np.random.default_rng(31)
+    wav = jnp.asarray(np_rng.standard_normal((2, 8000)) * 0.1, jnp.float32)
+    mask = jnp.zeros((2, 8000), bool).at[1, 6400:].set(True)
+    variables = model.init({"params": jax.random.PRNGKey(13)}, wav, mask)
+    return model, variables, wav, mask
+
+
+def build_tr_fc1():
+    """fc1 time-reduction (concat 2 frames -> linear; the type that CRASHES
+    on GPU in the reference, modules/module.py:360-379 + SURVEY §4)."""
+    import dataclasses
+
+    from fithubert_tpu.models import StudentModel
+
+    cfg = dataclasses.replace(_variant_base(), tr_layer_type="fc1")
+    model = StudentModel(cfg=cfg)
+    np_rng = np.random.default_rng(37)
+    wav = jnp.asarray(np_rng.standard_normal((2, 6400)) * 0.1, jnp.float32)
+    mask = jnp.zeros((2, 6400), bool).at[1, 4800:].set(True)
+    variables = model.init({"params": jax.random.PRNGKey(17)}, wav, mask)
+    return model, variables, wav, mask
+
+
 def main():
     d, tp, state, wav, mask = build()
     os.makedirs(OUT, exist_ok=True)
@@ -217,6 +270,25 @@ def main():
         grad_norm=np.float32(logs_c["grad_norm"]),
         param_probe=np.asarray(
             [float(jnp.ravel(l)[0]) for l in leaves_c], np.float32),
+    )
+
+    # ---- mel front-end + MelSpecHead forward --------------------------------
+    mmodel, mvars, mwav, mmask = build_mel()
+    m_out = mmodel.apply(mvars, mwav, mmask, deterministic=True,
+                         need_taps=False)
+    np.savez(
+        os.path.join(OUT, "mel_fwd.npz"),
+        x=np.asarray(m_out.x, np.float32),
+    )
+
+    # ---- fc1 time-reduction forward ------------------------------------------
+    fmodel, fvars, fwav, fmask = build_tr_fc1()
+    f_out = fmodel.apply(fvars, fwav, fmask, deterministic=True,
+                         need_taps=False)
+    np.savez(
+        os.path.join(OUT, "tr_fc1_fwd.npz"),
+        x=np.asarray(f_out.x, np.float32),
+        mask=np.asarray(f_out.padding_mask),
     )
 
     print(f"goldens written to {OUT}")

@@ -115,3 +115,30 @@ def test_ctc_step_matches_golden():
     leaves = jax.tree_util.tree_leaves(new_state.params)
     probe = np.asarray([float(jnp.ravel(l)[0]) for l in leaves], np.float32)
     np.testing.assert_allclose(probe, g["param_probe"], rtol=1e-3, atol=1e-6)
+
+
+def test_mel_forward_matches_golden():
+    """Mel front-end + MelSpecHead pin (torchaudio center=False/HTK
+    semantics) — drift-checked without torch."""
+    from scripts.make_goldens import build_mel
+
+    model, variables, wav, mask = build_mel()
+    g = np.load(os.path.join(GOLD, "mel_fwd.npz"))
+    out = model.apply(variables, wav, mask, deterministic=True,
+                      need_taps=False)
+    np.testing.assert_allclose(
+        np.asarray(out.x, np.float32), g["x"], rtol=RTOL, atol=ATOL)
+
+
+def test_tr_fc1_forward_matches_golden():
+    """fc1 time-reduction pin (concat_channelwise semantics — the TR type
+    the reference crashes on, SURVEY §4)."""
+    from scripts.make_goldens import build_tr_fc1
+
+    model, variables, wav, mask = build_tr_fc1()
+    g = np.load(os.path.join(GOLD, "tr_fc1_fwd.npz"))
+    out = model.apply(variables, wav, mask, deterministic=True,
+                      need_taps=False)
+    np.testing.assert_allclose(
+        np.asarray(out.x, np.float32), g["x"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_array_equal(np.asarray(out.padding_mask), g["mask"])

@@ -84,3 +84,21 @@ def test_pad_to_multiple():
     m = jnp.zeros((2, 7), bool)
     ym, _ = pad_to_multiple(m, 4, axis=-1, value=True)
     assert bool(ym[:, -1].all())
+
+
+def test_reduce_padding_mask_ceil_for_fc_tr_types():
+    """fc1/fc2 TR zero-pad x to ceil(t/f) frames, so their mask must keep
+    the trailing partial chunk (reduced over its real positions): at odd T
+    the reference floor-reduces and hands MHA a short mask (SURVEY §4)."""
+    import jax.numpy as jnp
+
+    # t=5, f=2: chunks (0,1) (2,3) (4,); row 0 pads from position 3
+    mask = jnp.asarray([[False, False, False, True, True],
+                        [False, False, False, False, False]])
+    out = np.asarray(reduce_padding_mask(mask, 2, ceil=True))
+    assert out.shape == (2, 3)
+    np.testing.assert_array_equal(out[0], [False, True, True])
+    np.testing.assert_array_equal(out[1], [False, False, False])
+    # floor semantics unchanged by default
+    out_floor = np.asarray(reduce_padding_mask(mask, 2))
+    assert out_floor.shape == (2, 2)
