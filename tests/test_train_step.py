@@ -141,6 +141,40 @@ def test_tensor_parallel_mesh_runs():
     assert np.isfinite(float(logs["loss"]))
 
 
+@pytest.mark.slow
+def test_tensor_parallel_model4_matches_single_device():
+    """('data' 2 × 'model' 4): TP must generalize past the model=2 geometry
+    the other tests pin (1 head/shard, FFN dim / 4) — and produce the SAME
+    loss as a single device, not just a finite one."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_cfg()
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(rng, b=4)
+    rand = jnp.zeros((1,), jnp.int32)
+
+    d1 = Distiller(cfg, mesh=make_mesh(1), num_training_steps=100,
+                   teacher_geometry=tiny_teacher_geometry())
+    tp1 = d1.prepare_teacher_params(d1.init_teacher_params(rng, batch["x"][0]))
+    st1 = d1.init_state(jax.random.PRNGKey(1), batch["x"][0])
+    _, logs1 = d1.make_train_step()(st1, tp1, batch, rand, rng)
+
+    mesh = make_mesh(model_axis=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    dM = Distiller(cfg, mesh=mesh, num_training_steps=100,
+                   teacher_geometry=tiny_teacher_geometry())
+    tpM = dM.shard_teacher(dM.init_teacher_params(rng, batch["x"][0]))
+    stM = dM.shard_state(dM.init_state(jax.random.PRNGKey(1), batch["x"][0]))
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda p: str(p.sharding.spec), stM.params))
+    assert any("model" in s for s in shardings)
+    sh = NamedSharding(mesh, P(None, "data"))
+    batchM = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    _, logsM = dM.make_train_step()(stM, tpM, batchM, rand, rng)
+    np.testing.assert_allclose(
+        float(logs1["loss"]), float(logsM["loss"]), rtol=2e-5)
+
+
 def test_eval_step_v_loss():
     cfg = tiny_cfg()
     d = Distiller(cfg, mesh=make_mesh(), num_training_steps=100,
