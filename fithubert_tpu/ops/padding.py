@@ -62,8 +62,9 @@ def reduce_padding_mask(mask, factor: int, ceil: bool = False):
         return None
     b, t = mask.shape
     if ceil and t % factor:
-        # pad with False (= real): the tail frame is padding iff all its
-        # real source positions are padding
+        # pad with False (= real) so any() sees only the REAL tail
+        # positions: the tail frame is padding iff ANY real source position
+        # in it is padding — the same any() semantics as the full chunks
         pad = factor - t % factor
         mask = jnp.pad(mask, ((0, 0), (0, pad)), constant_values=False)
         t = mask.shape[1]
