@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -353,8 +354,16 @@ def _gc_bwd(pad, groups, res, dy):
     wt = jnp.flip(w4, 0).transpose(0, 3, 2, 1).reshape(
         k, cout_g, groups * cin_g
     )
+    # barrier: XLA:TPU's simplifier otherwise folds the flip/transpose BACK
+    # into the conv as window rhs_reversal + swapped dim_labels — the exact
+    # slow transposed orientation this rewrite avoids (measured at the
+    # release shape: folded 3.39 ms vs barriered 1.85, bit-identical —
+    # scripts/posconv_dx_probe.py; the materialized weight reverse is ~3.5 MB)
+    wt = wt.astype(dy.dtype)
+    if os.environ.get("FITHUBERT_POSCONV_DX", "barrier") != "folded":
+        wt = jax.lax.optimization_barrier(wt)
     dx = jax.lax.conv_general_dilated(
-        dy, wt.astype(dy.dtype), window_strides=(1,),
+        dy, wt, window_strides=(1,),
         padding=[(k - 1 - pad[0], k - 1 - pad[1])],
         dimension_numbers=_conv_dn(), feature_group_count=groups,
     ).astype(x.dtype)
